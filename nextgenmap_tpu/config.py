@@ -1,0 +1,119 @@
+"""Run configuration — the single source of truth for every subsystem.
+
+Reference analog: the ``_Config`` singleton (ref:src/Config.cpp) populated by
+the CLI (ref:src/ArgParser.cpp).  Here it is one frozen dataclass: hashable
+(so it can key jit caches where it changes kernel shapes), JSON-serializable
+(dumped next to outputs for reproducibility), and with NGM's flag surface
+(SURVEY.md §2.1) mapped 1:1 onto fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class NgmConfig:
+    # --- index (ref flags: -k/--kmer, --kmer-skip, --max-freq analog) ---
+    kmer: int = 13                # k in [10, 14], reference default 13
+    kmer_skip: int = 2            # stride between indexed k-mers (ref --kmer-skip)
+    read_kmer_skip: int = 1       # stride of k-mer enumeration on the READ side;
+                                  # must stay 1 unless kmer_skip is 1 too, else
+                                  # stride phases can miss an indexed locus entirely
+    max_kmer_freq: int = 1000     # repeat masking: k-mers occurring more often are dropped
+    kmer_min: int = 0             # minimum k-mer hits to consider a read mappable
+
+    # --- candidate search ---
+    sensitivity: float = 0.5      # [0,1]; CMR threshold = max(1, ceil(best_count * sensitivity))
+                                  # higher => stricter threshold => fewer candidates (faster)
+    max_cmrs: int = 32            # static cap on candidate regions per read/strand (ref --max-cmrs)
+    max_kmer_fanout: int = 32     # static cap K on positions gathered per k-mer lookup
+    diag_bin_log2: int = 4        # diagonal bucket width = 2**this (16bp bins)
+
+    # --- scoring (ref defaults: match 10, mismatch 15, gaps 20/20/20) ---
+    match_bonus: int = 10
+    mismatch_penalty: int = 15
+    gap_read_penalty: int = 20    # gap opened in the read (deletion from ref view)
+    gap_ref_penalty: int = 20     # gap opened in the reference
+    gap_extend_penalty: int = 20  # NGM default == open => effectively linear gaps
+    affine: bool = False          # ref --affine: true affine-gap kernel
+
+    # --- filters / selection ---
+    min_identity: float = 0.65    # ref -i
+    min_residues: float = 0.5     # ref -R (fraction of read aligned)
+    topn: int = 1                 # ref -n
+    strata: bool = False          # ref --strata: only top-score stratum
+
+    # --- paired-end (ref -I/-X/--pair-score-cutoff) ---
+    min_insert_size: int = 0
+    max_insert_size: int = 1000
+    pair_score_cutoff: float = 0.9
+
+    # --- modes ---
+    bs_mapping: bool = False      # bisulfite: C/T-collapsed hashing + asymmetric matrices
+    bs_cutoff: int = 6
+    slam_seq: int = 0             # 0 off, 1|2 T->C-tolerant scoring
+
+    # --- output ---
+    no_unal: bool = False         # suppress unmapped records
+    hard_clip: bool = False
+    silent_clip: bool = False
+    rg_id: str = ""
+    rg_sm: str = ""
+    rg_lb: str = ""
+    rg_pl: str = ""
+    rg_pu: str = ""
+    bam: bool = False
+
+    # --- runtime / batching ---
+    batch_size: int = 2048        # reads per device step
+    read_len: int = 0             # 0 = infer from input; padded static length
+    corridor: int = 0             # 0 = derive from read length
+    skip_save: bool = False       # don't memoize index artifacts
+    no_progress: bool = False
+    threads: int = 1              # host IO threads (device work is bulk-synchronous)
+
+    # ------------------------------------------------------------------
+    def corridor_for(self, read_len: int) -> int:
+        """Banded-SW corridor width for a read length.
+
+        Wide enough for ~10% indel divergence (the sensitivity regime the
+        reference targets) and rounded for TPU lane friendliness.
+        """
+        if self.corridor:
+            return _round_up(self.corridor, 8)
+        return max(16, _round_up(int(read_len * 0.2), 8))
+
+    def kmers_per_read(self, read_len: int) -> int:
+        return max(1, (read_len - self.kmer) // self.read_kmer_skip + 1)
+
+    def replace(self, **kw) -> "NgmConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "NgmConfig":
+        return cls(**json.loads(s))
+
+    def validate(self) -> None:
+        if not (10 <= self.kmer <= 14):
+            raise ValueError(f"kmer must be in [10,14], got {self.kmer}")
+        if self.kmer_skip < 1:
+            raise ValueError("kmer_skip must be >= 1")
+        if not (0.0 <= self.sensitivity <= 1.0):
+            raise ValueError("sensitivity must be in [0,1]")
+        if self.max_insert_size < self.min_insert_size:
+            raise ValueError("max_insert_size < min_insert_size")
+        if self.slam_seq not in (0, 1, 2):
+            raise ValueError("slam_seq must be 0, 1 or 2")
+        if self.gap_extend_penalty > min(self.gap_read_penalty, self.gap_ref_penalty):
+            # the banded-SW lazy-F scan trick requires open >= extend
+            raise ValueError("gap_extend_penalty must be <= gap open penalties")

@@ -1,0 +1,165 @@
+"""FASTQ/FASTA read streaming into fixed-shape padded batches.
+
+Reference analog: ReadProvider (ref:src/ReadProvider.cpp) + kseq
+(ref:src/kseq.h): streams reads, links mates, feeds worker threads.  Here the
+provider yields struct-of-arrays batches with static shapes — `[B, L]` uint8
+code matrices plus lengths — which is what the jitted device step consumes
+(SURVEY.md §7 design stance: variable-length structures become fixed shapes
+with caps + masks).
+
+Mates are interleaved within a batch: for paired input, batch rows 2i / 2i+1
+are mate1 / mate2 of pair i.  This keeps pair resolution a pure reshape on
+device instead of a cross-batch join.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from nextgenmap_tpu.io.encode import PAD, encode_seq
+from nextgenmap_tpu.io.fasta import _open_text
+
+
+@dataclass
+class ReadRecord:
+    name: str
+    codes: np.ndarray  # uint8 [len]
+    qual: bytes | None  # phred+33 ASCII, None for FASTA
+
+
+@dataclass
+class ReadBatch:
+    """Fixed-shape batch of reads. `n` real rows; rows >= n are padding."""
+
+    codes: np.ndarray      # uint8 [B, L], PAD beyond each read's length
+    lengths: np.ndarray    # int32 [B], 0 for padding rows
+    names: list[str]       # len B ('' for padding rows)
+    quals: list[bytes | None]
+    n: int
+    paired: bool = False   # rows 2i/2i+1 are mates
+
+    @property
+    def batch_size(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def read_len(self) -> int:
+        return self.codes.shape[1]
+
+
+def iter_reads(path: str) -> Iterator[ReadRecord]:
+    """Stream FASTQ or FASTA records (auto-detected, gz ok)."""
+    with _open_text(path) as f:
+        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if not first:
+            line = f.readline()
+            if not line:
+                return
+            first = line[:1]
+            rest = itertools.chain([line], f)
+        else:
+            rest = f
+        if first == b">":
+            # FASTA reads
+            name, chunks = None, []
+            for line in rest:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield ReadRecord(name, encode_seq(b"".join(chunks)), None)
+                    name = line[1:].split()[0].decode("ascii")
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                yield ReadRecord(name, encode_seq(b"".join(chunks)), None)
+        else:
+            it = iter(rest)
+            while True:
+                try:
+                    hdr = next(it).strip()
+                except StopIteration:
+                    return
+                if not hdr:
+                    continue
+                seq = next(it).strip()
+                next(it)  # '+'
+                qual = next(it).strip()
+                name = hdr[1:].split()[0].decode("ascii")
+                yield ReadRecord(name, encode_seq(seq), bytes(qual))
+
+
+def _strip_mate_suffix(name: str) -> str:
+    if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+        return name[:-2]
+    return name
+
+
+def _pack(records: list[ReadRecord], batch_size: int, read_len: int, paired: bool) -> ReadBatch:
+    codes = np.full((batch_size, read_len), PAD, dtype=np.uint8)
+    lengths = np.zeros(batch_size, dtype=np.int32)
+    names: list[str] = [""] * batch_size
+    quals: list[bytes | None] = [None] * batch_size
+    for i, r in enumerate(records):
+        L = min(len(r.codes), read_len)
+        codes[i, :L] = r.codes[:L]
+        lengths[i] = L
+        names[i] = _strip_mate_suffix(r.name) if paired else r.name
+        quals[i] = r.qual[:L] if r.qual is not None else None
+    return ReadBatch(codes, lengths, names, quals, n=len(records), paired=paired)
+
+
+def batch_single(path: str, batch_size: int, read_len: int) -> Iterator[ReadBatch]:
+    """Single-end: pack reads into [B, L] batches (last one padded)."""
+    buf: list[ReadRecord] = []
+    for rec in iter_reads(path):
+        buf.append(rec)
+        if len(buf) == batch_size:
+            yield _pack(buf, batch_size, read_len, paired=False)
+            buf = []
+    if buf:
+        yield _pack(buf, batch_size, read_len, paired=False)
+
+
+def batch_paired(
+    path1: str, path2: str | None, batch_size: int, read_len: int
+) -> Iterator[ReadBatch]:
+    """Paired-end from two files (-1/-2) or one interleaved file (-p).
+
+    batch_size must be even; rows 2i/2i+1 hold the two mates of pair i.
+    """
+    if batch_size % 2:
+        raise ValueError("paired batch_size must be even")
+    if path2 is not None:
+        pairs = zip(iter_reads(path1), iter_reads(path2), strict=True)
+        flat: Iterator[ReadRecord] = itertools.chain.from_iterable(pairs)
+    else:
+        flat = iter_reads(path1)
+    buf: list[ReadRecord] = []
+    for rec in flat:
+        buf.append(rec)
+        if len(buf) == batch_size:
+            yield _pack(buf, batch_size, read_len, paired=True)
+            buf = []
+    if buf:
+        if len(buf) % 2:
+            raise ValueError("odd number of reads in paired input")
+        yield _pack(buf, batch_size, read_len, paired=True)
+
+
+def peek_read_len(path: str, sample: int = 1000) -> int:
+    """Max read length over the first `sample` reads (drives static shapes).
+
+    Reference analog: ReadProvider's read-length stats that drive corridor
+    sizing (SURVEY.md §2 component 14).
+    """
+    m = 0
+    for rec in itertools.islice(iter_reads(path), sample):
+        m = max(m, len(rec.codes))
+    return m
