@@ -1,0 +1,292 @@
+"""Banded Smith-Waterman — reference JAX implementation (score + traceback).
+
+Reference analog: the OpenCL corridor-SW kernels SWOcl (score only,
+ref:src/SWOcl.cpp) and SWOclCigar (traceback, ref:src/SWOclCigar.cpp), and
+the SSE CPU backend that plays the same role (SURVEY.md §2 components 18-20).
+This module is the pure-jax.lax "CPU backend" of our stack: it runs on any
+JAX backend, defines the exact semantics the Pallas kernels must reproduce
+bit-for-bit, and is itself oracle-tested against a scalar NumPy DP.
+
+Band parametrization: query row i (0-based), band offset o in [0, W);
+the corridor ref slice is laid out so ref index j = i + o.  A corridor of
+length T = L + W therefore covers the whole band.  In these coordinates the
+classic moves become:
+
+  diag  (i-1, j-1) -> same offset o in the previous row
+  up    (i-1, j)   -> offset o+1 in the previous row   (gap: query consumed, "I")
+  left  (i,   j-1) -> offset o-1 in the same row       (gap: ref consumed, "D")
+
+The left/F dependency inside a row is resolved with an associative max-scan
+("lazy-F" trick): chains H->F->F… collapse exactly when gap_open >= gap_extend
+(enforced by NgmConfig.validate), so
+
+  F[o] = max_{t<o}( Htmp[t] + t*gext ) - gopen - (o-1)*gext
+
+with Htmp = max(0, diag, E).  NGM's defaults (open == extend == 20) make the
+affine recurrence collapse to linear gaps, so this one kernel covers both the
+default and --affine modes.
+
+DP is int32 throughout => tests assert exact equality (SURVEY.md §4 item 2).
+Tie-breaks per DESIGN.md rule 10: stop > diag > up(E) > left(F); gap states
+prefer open over extend on equal score; the global best cell prefers smallest
+(i, then j).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = jnp.int32(-(2**30))
+
+# traceback op codes (match SAM CIGAR semantics)
+OP_M, OP_I, OP_D = 0, 1, 2
+OP_NONE = 255
+
+# dir byte layout: bits 0-1 H-source (0 stop, 1 diag, 2 E/up, 3 F/left),
+# bit 2: E extends (vs opens), bit 3: F extends (vs opens)
+
+
+class ScoreResult(NamedTuple):
+    score: jax.Array   # [B] int32 best local score (0 = no alignment)
+    end_i: jax.Array   # [B] int32 query index of the best cell
+    end_o: jax.Array   # [B] int32 band offset of the best cell (ref j = i + o)
+
+
+class AlignResult(NamedTuple):
+    score: jax.Array     # [B] int32
+    q_start: jax.Array   # [B] first aligned query base (soft-clip before)
+    q_end: jax.Array     # [B] last aligned query base (inclusive)
+    r_start: jax.Array   # [B] first aligned corridor ref index
+    r_end: jax.Array     # [B] last aligned corridor ref index (inclusive)
+    ops: jax.Array       # [B, max_ops] uint8, alignment ops END->START, OP_NONE-filled
+    n_ops: jax.Array     # [B] int32
+    matches: jax.Array   # [B] int32 exact base matches
+    mismatches: jax.Array  # [B] int32 aligned-but-different bases
+    indels: jax.Array    # [B] int32 total gap length
+
+
+def _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext):
+    """One DP row. Returns (h, e, htmp-F decomposition pieces for dirs)."""
+    B, W = sub.shape
+    # diag: previous row, same offset
+    hd = h_prev + sub
+    # E (up): previous row, offset o+1
+    h_up = jnp.concatenate([h_prev[:, 1:], jnp.full((B, 1), NEG, h_prev.dtype)], axis=1)
+    e_up = jnp.concatenate([e_prev[:, 1:], jnp.full((B, 1), NEG, e_prev.dtype)], axis=1)
+    e_open = h_up - gopen_q
+    e_ext = e_up - gext
+    e = jnp.maximum(e_open, e_ext)
+    htmp = jnp.maximum(jnp.maximum(0, hd), e)
+    # F (left) via exclusive max-scan of Htmp[t] + t*gext
+    off = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    a = htmp + off * gext
+    cm = jax.lax.associative_scan(jnp.maximum, a, axis=1)
+    cm_excl = jnp.concatenate([jnp.full((B, 1), NEG, cm.dtype), cm[:, :-1]], axis=1)
+    f = cm_excl - gopen_r - (off - 1) * gext
+    h = jnp.maximum(htmp, f)
+    return h, e, hd, f, e_ext, e_open
+
+
+def _dirs(h, hd, e, f, e_ext_term, e_open_term, f_prev_ext, f_prev_open):
+    """Pack the direction byte per cell (tie-breaks per DESIGN.md rule 10)."""
+    d = jnp.where(
+        h <= 0, 0,
+        jnp.where(h == hd, 1, jnp.where(h == e, 2, 3)),
+    ).astype(jnp.uint8)
+    e_bit = (e_ext_term > e_open_term).astype(jnp.uint8) << 2
+    f_bit = (f_prev_ext > f_prev_open).astype(jnp.uint8) << 3
+    return d | e_bit | f_bit
+
+
+@partial(jax.jit, static_argnames=("band",))
+def banded_sw_score(
+    query: jax.Array,   # [B, L] int32/uint8 codes
+    qlen: jax.Array,    # [B] int32
+    ref: jax.Array,     # [B, T] codes, T = L + band
+    matrix: jax.Array,  # [8, 8] int32
+    gopen_q: jax.Array,  # scalar int32: penalty opening a gap consuming query (I)
+    gopen_r: jax.Array,  # scalar int32: penalty opening a gap consuming ref (D)
+    gext: jax.Array,     # scalar int32
+    *,
+    band: int,
+) -> ScoreResult:
+    """Score-only banded SW over a batch. ~L sequential steps of [B, W] VPU work."""
+    B, L = query.shape
+    W = band
+    q = query.astype(jnp.int32)
+    r = ref.astype(jnp.int32)
+    flat = matrix.reshape(-1)
+
+    # lax.scan over rows; slices of q and r per row
+    def body(carry, i):
+        h_prev, e_prev, best, bi, bo = carry
+        qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]          # [B]
+        rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)                # [B, W]
+        sub = flat[qi[:, None] * 8 + rw]
+        h, e, *_ = _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext)
+        valid = (i < qlen)[:, None]
+        h_m = jnp.where(valid, h, 0)
+        rowmax = jnp.max(h_m, axis=1)
+        rowarg = jnp.argmax(h_m, axis=1).astype(jnp.int32)
+        upd = rowmax > best
+        best = jnp.where(upd, rowmax, best)
+        bi = jnp.where(upd, i, bi)
+        bo = jnp.where(upd, rowarg, bo)
+        return (h, e, best, bi, bo), None
+
+    h0 = jnp.zeros((B, W), jnp.int32)
+    e0 = jnp.full((B, W), NEG, jnp.int32)
+    init = (h0, e0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+    (h, e, best, bi, bo), _ = jax.lax.scan(body, init, jnp.arange(L, dtype=jnp.int32))
+    return ScoreResult(best, bi, bo)
+
+
+@partial(jax.jit, static_argnames=("band", "max_ops"))
+def banded_sw_align(
+    query: jax.Array,
+    qlen: jax.Array,
+    ref: jax.Array,
+    matrix: jax.Array,
+    gopen_q: jax.Array,
+    gopen_r: jax.Array,
+    gext: jax.Array,
+    *,
+    band: int,
+    max_ops: int = 0,
+) -> AlignResult:
+    """Banded SW with full traceback: direction matrix + vectorized backwalk.
+
+    The direction matrix is [B, L, W] uint8 (the Pallas version packs this
+    tighter); the backwalk is a lax.while_loop of at most L+W steps with [B]
+    gathers per step — only alignment survivors should be fed here.
+    """
+    B, L = query.shape
+    W = band
+    MO = max_ops or (L + W)
+    q = query.astype(jnp.int32)
+    r = ref.astype(jnp.int32)
+    flat = matrix.reshape(-1)
+
+    def body(carry, i):
+        h_prev, e_prev, best, bi, bo = carry
+        qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]
+        rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)
+        sub = flat[qi[:, None] * 8 + rw]
+        B_, W_ = sub.shape
+        hd = h_prev + sub
+        h_up = jnp.concatenate([h_prev[:, 1:], jnp.full((B_, 1), NEG, jnp.int32)], axis=1)
+        e_up = jnp.concatenate([e_prev[:, 1:], jnp.full((B_, 1), NEG, jnp.int32)], axis=1)
+        e_open = h_up - gopen_q
+        e_ext = e_up - gext
+        e = jnp.maximum(e_open, e_ext)
+        htmp = jnp.maximum(jnp.maximum(0, hd), e)
+        off = jax.lax.broadcasted_iota(jnp.int32, (B_, W_), 1)
+        a = htmp + off * gext
+        cm = jax.lax.associative_scan(jnp.maximum, a, axis=1)
+        cm_excl = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), cm[:, :-1]], axis=1)
+        f = cm_excl - gopen_r - (off - 1) * gext
+        h = jnp.maximum(htmp, f)
+        # F source bits: F[o] extends F[o-1] vs opens from Htmp[o-1] (strict:
+        # prefer open on tie)
+        f_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), f[:, :-1]], axis=1)
+        htmp_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), htmp[:, :-1]], axis=1)
+        dirs = _dirs(h, hd, e, f, e_ext, e_open, f_left - gext, htmp_left - gopen_r)
+        valid = (i < qlen)[:, None]
+        h_m = jnp.where(valid, h, 0)
+        rowmax = jnp.max(h_m, axis=1)
+        rowarg = jnp.argmax(h_m, axis=1).astype(jnp.int32)
+        upd = rowmax > best
+        best = jnp.where(upd, rowmax, best)
+        bi = jnp.where(upd, i, bi)
+        bo = jnp.where(upd, rowarg, bo)
+        return (h, e, best, bi, bo), dirs
+
+    h0 = jnp.zeros((B, W), jnp.int32)
+    e0 = jnp.full((B, W), NEG, jnp.int32)
+    init = (h0, e0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+    (_, _, best, bi, bo), dirs = jax.lax.scan(body, init, jnp.arange(L, dtype=jnp.int32))
+    dirs = jnp.transpose(dirs, (1, 0, 2))  # [B, L, W]
+    dflat = dirs.reshape(B, L * W)
+
+    # ---- vectorized backwalk ----
+    PH_H, PH_E, PH_F = 0, 1, 2
+    barange = jnp.arange(B)
+
+    def cond(st):
+        return jnp.any(st["active"])
+
+    def step(st):
+        i, o, ph = st["i"], st["o"], st["ph"]
+        inb = (i >= 0) & (i < L) & (o >= 0) & (o < W)
+        d = jnp.where(inb, dflat[barange, jnp.clip(i, 0, L - 1) * W + jnp.clip(o, 0, W - 1)], 0)
+        hsrc = d & 3
+        active = st["active"] & inb & ((ph != PH_H) | (hsrc != 0))
+
+        qb = q[barange, jnp.clip(i, 0, L - 1)]
+        rb = r[barange, jnp.clip(i + o, 0, L + W - 1)]
+
+        # H phase with hsrc==1: diag step (emit M, i-1)
+        is_diag = active & (ph == PH_H) & (hsrc == 1)
+        # H phase entering E/F: switch phase, no emission this step
+        to_e = active & (ph == PH_H) & (hsrc == 2)
+        to_f = active & (ph == PH_H) & (hsrc == 3)
+        # E phase: emit I, move (i-1, o+1), stay E iff ext bit
+        in_e = active & (ph == PH_E)
+        # F phase: emit D, move (i, o-1), stay F iff ext bit
+        in_f = active & (ph == PH_F)
+
+        emit = is_diag | in_e | in_f
+        op = jnp.where(is_diag, OP_M, jnp.where(in_e, OP_I, OP_D)).astype(jnp.uint8)
+        nops = st["nops"]
+        ops = st["ops"].at[barange, jnp.clip(nops, 0, MO - 1)].set(
+            jnp.where(emit, op, st["ops"][barange, jnp.clip(nops, 0, MO - 1)])
+        )
+        nops = jnp.where(emit, nops + 1, nops)
+
+        m_hit = is_diag & (qb == rb) & (qb < 4)
+        matches = st["matches"] + m_hit.astype(jnp.int32)
+        mismatches = st["mismatches"] + (is_diag & ~m_hit).astype(jnp.int32)
+        indels = st["indels"] + (in_e | in_f).astype(jnp.int32)
+
+        ni = jnp.where(is_diag | in_e, i - 1, i)
+        no = jnp.where(in_e, o + 1, jnp.where(in_f, o - 1, o))
+        e_bit = (d >> 2) & 1
+        f_bit = (d >> 3) & 1
+        nph = jnp.where(
+            to_e, PH_E,
+            jnp.where(to_f, PH_F,
+                      jnp.where(in_e, jnp.where(e_bit == 1, PH_E, PH_H),
+                                jnp.where(in_f, jnp.where(f_bit == 1, PH_F, PH_H), ph))),
+        )
+        # record the last consumed cell to derive start coordinates
+        qs = jnp.where(is_diag | in_e, i, st["qs"])
+        rs = jnp.where(is_diag | in_f, i + o, st["rs"])
+        return {
+            "i": jnp.where(active, ni, i), "o": jnp.where(active, no, o),
+            "ph": jnp.where(active, nph, ph), "active": active,
+            "ops": ops, "nops": nops, "matches": matches,
+            "mismatches": mismatches, "indels": indels, "qs": qs, "rs": rs,
+        }
+
+    st0 = {
+        "i": bi, "o": bo, "ph": jnp.zeros(B, jnp.int32),
+        "active": best > 0,
+        "ops": jnp.full((B, MO), OP_NONE, jnp.uint8),
+        "nops": jnp.zeros(B, jnp.int32),
+        "matches": jnp.zeros(B, jnp.int32),
+        "mismatches": jnp.zeros(B, jnp.int32),
+        "indels": jnp.zeros(B, jnp.int32),
+        "qs": bi, "rs": bi + bo,
+    }
+    st = jax.lax.while_loop(cond, step, st0)
+    return AlignResult(
+        score=best,
+        q_start=st["qs"], q_end=bi,
+        r_start=st["rs"], r_end=bi + bo,
+        ops=st["ops"], n_ops=st["nops"],
+        matches=st["matches"], mismatches=st["mismatches"], indels=st["indels"],
+    )

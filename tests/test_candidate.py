@@ -1,0 +1,136 @@
+"""Candidate-search tests: hand-built reads with known diagonals, threshold
+behavior, caps/fallbacks, strand handling (SURVEY.md §4 item 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nextgenmap_tpu.index.kmer_index import KmerIndex
+from nextgenmap_tpu.io.encode import revcomp_codes
+from nextgenmap_tpu.ops.candidate import (
+    SENTINEL, candidate_search, merge_strand_candidates,
+)
+from nextgenmap_tpu.ops.kmer import extract_kmers
+
+K = 8
+
+
+def make_index(genome):
+    idx = KmerIndex.build(genome, k=K, skip=1, max_freq=10_000)
+    off, pos = idx.device_arrays()
+    return jnp.asarray(off), jnp.asarray(pos)
+
+
+def search(reads, lengths, off, pos, sens=0.5, fanout=16, cmrs=8, binlog=4):
+    km, ok = extract_kmers(jnp.asarray(reads), jnp.asarray(lengths, jnp.int32), K)
+    return candidate_search(
+        km, ok, off, pos, jnp.float32(sens),
+        fanout_cap=fanout, max_cmrs=cmrs, diag_bin_log2=binlog,
+    )
+
+
+def test_exact_read_finds_diagonal(ecoli_like):
+    g = ecoli_like[:50_000]
+    off, pos = make_index(g)
+    L = 64
+    origin = 1234
+    read = g[origin : origin + L]
+    res = search(read[None].astype(np.uint8), [L], off, pos)
+    # best candidate bucket should contain the true diagonal `origin`
+    b = int(res.bucket[0, 0])
+    assert b != int(SENTINEL)
+    assert b <= origin >> 4 <= b + 1  # pair-merge means bucket or bucket+1
+    # exact read: every kmer hits => score ~ number of kmers
+    assert int(res.score[0, 0]) >= (L - K) // 2
+
+
+def test_reverse_strand_candidates(ecoli_like):
+    g = ecoli_like[:50_000]
+    off, pos = make_index(g)
+    L = 64
+    origin = 9000
+    read = revcomp_codes(g[origin : origin + L])  # sequenced from reverse strand
+    # forward search of the read itself should find little; rc(read) should hit
+    fwd = search(read[None], [L], off, pos)
+    rc = search(revcomp_codes(read)[None], [L], off, pos)
+    assert int(rc.score[0, 0]) > int(fwd.score[0, 0])
+    merged_bucket, merged_score, merged_strand = merge_strand_candidates(fwd, rc, 8)
+    assert int(merged_strand[0, 0]) == 1  # best is on reverse strand
+    b = int(merged_bucket[0, 0])
+    assert b <= origin >> 4 <= b + 1
+
+
+def test_sensitivity_threshold(ecoli_like):
+    g = ecoli_like[:50_000]
+    off, pos = make_index(g)
+    L = 64
+    # read = half locus A, half locus B: two candidate regions, each ~50% score
+    a, b = 3000, 20000
+    read = np.concatenate([g[a : a + L // 2], g[b : b + L // 2]]).astype(np.uint8)
+    hi = search(read[None], [L], off, pos, sens=0.9)   # strict: only best region
+    lo = search(read[None], [L], off, pos, sens=0.2)   # permissive: both
+    n_hi = int(jnp.sum(hi.score[0] > 0))
+    n_lo = int(jnp.sum(lo.score[0] > 0))
+    assert n_lo >= 2
+    assert n_hi <= n_lo
+
+
+def test_mutated_read_still_found(ecoli_like):
+    g = ecoli_like[:50_000]
+    off, pos = make_index(g)
+    L = 100
+    origin = 40_000
+    rng = np.random.default_rng(0)
+    read = g[origin : origin + L].copy()
+    # 10% SNPs — the sensitivity-over-identity regime
+    for p in rng.choice(L, size=10, replace=False):
+        read[p] = (read[p] + 1 + rng.integers(0, 3)) % 4
+    res = search(read[None], [L], off, pos, sens=0.3)
+    found = False
+    for c in range(res.bucket.shape[1]):
+        bkt = int(res.bucket[0, c])
+        if bkt != int(SENTINEL) and bkt <= origin >> 4 <= bkt + 1:
+            found = True
+    assert found
+
+
+def test_fanout_overflow_counted():
+    # genome = one 8-mer repeated: every lookup overflows any small cap
+    unit = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.uint8)
+    g = np.tile(unit, 200)
+    off, pos = make_index(g)
+    read = np.tile(unit, 4).astype(np.uint8)
+    res = search(read[None], [32], off, pos, fanout=4)
+    assert int(res.fanout_overflow) > 0
+
+
+def test_no_candidates_for_alien_read(ecoli_like):
+    g = ecoli_like[:20_000]
+    off, pos = make_index(g)
+    rng = np.random.default_rng(1)
+    # random read is unlikely to produce a coherent diagonal: best score small
+    read = rng.integers(0, 4, 64).astype(np.uint8)
+    res = search(read[None], [64], off, pos)
+    assert int(res.best_score[0]) <= 3
+
+
+def test_batch_invariance(ecoli_like):
+    g = ecoli_like[:30_000]
+    off, pos = make_index(g)
+    L = 64
+    reads = np.stack([g[i * 1000 : i * 1000 + L] for i in range(8)]).astype(np.uint8)
+    lens = np.full(8, L, np.int32)
+    full = search(reads, lens, off, pos)
+    for i in range(8):
+        one = search(reads[i][None], [L], off, pos)
+        assert full.bucket[i].tolist() == one.bucket[0].tolist()
+        assert full.score[i].tolist() == one.score[0].tolist()
+
+
+def test_padding_rows_inert(ecoli_like):
+    g = ecoli_like[:30_000]
+    off, pos = make_index(g)
+    L = 64
+    reads = np.full((4, L), 4, np.uint8)  # all-PAD rows
+    res = search(reads, np.zeros(4, np.int32), off, pos)
+    assert int(jnp.sum(res.score)) == 0
+    assert (np.asarray(res.bucket) == int(SENTINEL)).all()
