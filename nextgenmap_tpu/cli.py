@@ -1,0 +1,158 @@
+"""``ngm-tpu`` command line — NGM's flag surface (SURVEY.md §2.1).
+
+Reference analog: main()/ArgParser (ref:src/main.cpp, ref:src/ArgParser.cpp).
+Unlike the reference (which indexes implicitly on first use) an explicit
+``index`` verb is also provided; plain invocation maps, like ``ngm``.
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+
+from nextgenmap_tpu.config import NgmConfig
+from nextgenmap_tpu.utils.logging import get_logger
+
+log = get_logger("ngm-tpu.cli")
+
+
+def build_parser():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="ngm-tpu",
+        description="TPU-native short-read mapper (NextGenMap capabilities)",
+    )
+    sub = p.add_subparsers(dest="verb")
+
+    def add_common(sp):
+        g = sp.add_argument_group("input/output")
+        g.add_argument("-r", "--reference", required=True)
+        g.add_argument("-q", "--qry")
+        g.add_argument("-1", "--qry1", dest="qry1")
+        g.add_argument("-2", "--qry2", dest="qry2")
+        g.add_argument("-p", "--paired", action="store_true",
+                       help="interleaved paired-end input via -q")
+        g.add_argument("-o", "--output")
+        g.add_argument("--bam", action="store_true")
+        g.add_argument("--no-unal", action="store_true")
+        g.add_argument("--hard-clip", action="store_true")
+        g.add_argument("--silent-clip", action="store_true")
+        g.add_argument("--rg-id", default="")
+        g.add_argument("--rg-sm", default="")
+        g.add_argument("--rg-lb", default="")
+        g.add_argument("--rg-pl", default="")
+        g.add_argument("--rg-pu", default="")
+        g.add_argument("--skip-save", action="store_true")
+
+        g = sp.add_argument_group("index")
+        g.add_argument("-k", "--kmer", type=int, default=13)
+        g.add_argument("--kmer-skip", type=int, default=2)
+        g.add_argument("--kmer-min", type=int, default=0)
+        g.add_argument("--max-freq", type=int, default=1000)
+        g.add_argument("--max-cmrs", type=int, default=32)
+
+        g = sp.add_argument_group("sensitivity/filters")
+        g.add_argument("-s", "--sensitivity", type=float, default=0.5)
+        g.add_argument("-i", "--min-identity", type=float, default=0.65)
+        g.add_argument("-R", "--min-residues", type=float, default=0.5)
+        g.add_argument("-n", "--topn", type=int, default=1)
+        g.add_argument("--strata", action="store_true")
+
+        g = sp.add_argument_group("scoring")
+        g.add_argument("--match-bonus", type=int, default=10)
+        g.add_argument("--mismatch-penalty", type=int, default=15)
+        g.add_argument("--gap-read-penalty", type=int, default=20)
+        g.add_argument("--gap-ref-penalty", type=int, default=20)
+        g.add_argument("--gap-extend-penalty", type=int, default=20)
+        g.add_argument("--affine", action="store_true")
+
+        g = sp.add_argument_group("paired-end")
+        g.add_argument("-I", "--min-insert-size", type=int, default=0)
+        g.add_argument("-X", "--max-insert-size", type=int, default=1000)
+        g.add_argument("--pair-score-cutoff", type=float, default=0.9)
+
+        g = sp.add_argument_group("modes")
+        g.add_argument("--bs-mapping", action="store_true")
+        g.add_argument("--bs-cutoff", type=int, default=6)
+        g.add_argument("--slam-seq", type=int, default=0, choices=[0, 1, 2])
+
+        g = sp.add_argument_group("runtime")
+        g.add_argument("-t", "--threads", type=int, default=1)
+        g.add_argument("--batch-size", type=int, default=2048)
+        g.add_argument("--read-len", type=int, default=0,
+                       help="static padded read length (0 = infer)")
+        g.add_argument("--corridor", type=int, default=0)
+        g.add_argument("--no-progress", action="store_true")
+
+    map_p = sub.add_parser("map", help="map reads (default verb)")
+    add_common(map_p)
+    idx_p = sub.add_parser("index", help="build (and memoize) the index only")
+    idx_p.add_argument("-r", "--reference", required=True)
+    idx_p.add_argument("-k", "--kmer", type=int, default=13)
+    idx_p.add_argument("--kmer-skip", type=int, default=2)
+    idx_p.add_argument("--max-freq", type=int, default=1000)
+    idx_p.add_argument("--bs-mapping", action="store_true")
+    return p, map_p
+
+
+def config_from_args(a) -> NgmConfig:
+    return NgmConfig(
+        kmer=a.kmer, kmer_skip=a.kmer_skip, kmer_min=a.kmer_min,
+        max_kmer_freq=a.max_freq, max_cmrs=a.max_cmrs,
+        sensitivity=a.sensitivity, min_identity=a.min_identity,
+        min_residues=a.min_residues, topn=a.topn, strata=a.strata,
+        match_bonus=a.match_bonus, mismatch_penalty=a.mismatch_penalty,
+        gap_read_penalty=a.gap_read_penalty, gap_ref_penalty=a.gap_ref_penalty,
+        gap_extend_penalty=a.gap_extend_penalty, affine=a.affine,
+        min_insert_size=a.min_insert_size, max_insert_size=a.max_insert_size,
+        pair_score_cutoff=a.pair_score_cutoff,
+        bs_mapping=a.bs_mapping, bs_cutoff=a.bs_cutoff, slam_seq=a.slam_seq,
+        no_unal=a.no_unal, hard_clip=a.hard_clip, silent_clip=a.silent_clip,
+        rg_id=a.rg_id, rg_sm=a.rg_sm, rg_lb=a.rg_lb, rg_pl=a.rg_pl,
+        rg_pu=a.rg_pu, bam=a.bam,
+        batch_size=a.batch_size, read_len=a.read_len, corridor=a.corridor,
+        skip_save=a.skip_save, no_progress=a.no_progress, threads=a.threads,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # default verb is `map` (like the reference binary)
+    if argv and argv[0] not in ("map", "index", "-h", "--help"):
+        argv = ["map"] + argv
+    parser, _ = build_parser()
+    a = parser.parse_args(argv)
+
+    if a.verb == "index":
+        from nextgenmap_tpu.index.genome import Genome
+        from nextgenmap_tpu.index.kmer_index import KmerIndex
+
+        genome = Genome.open(a.reference)
+        KmerIndex.open(
+            a.reference, genome.codes, genome.sha1(),
+            k=a.kmer, skip=a.kmer_skip, max_freq=a.max_freq,
+            collapse_ct=a.bs_mapping,
+        )
+        return 0
+
+    if not (a.qry or a.qry1):
+        parser.error("need -q or -1/-2 query reads")
+    if a.paired and a.qry1:
+        parser.error("-p (interleaved) conflicts with -1/-2")
+    cfg = config_from_args(a)
+    from nextgenmap_tpu.pipeline.runner import run_mapping
+
+    stats = run_mapping(
+        cfg, a.reference,
+        qry=a.qry, qry1=a.qry1, qry2=a.qry2,
+        paired_interleaved=a.paired,
+        out_path=a.output,
+        cmdline=shlex.join(["ngm-tpu"] + argv),
+    )
+    log.info("exit: %s", stats.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,12 +83,16 @@ class NgmConfig:
     def corridor_for(self, read_len: int) -> int:
         """Banded-SW corridor width for a read length.
 
-        Wide enough for ~10% indel divergence (the sensitivity regime the
-        reference targets) and rounded for TPU lane friendliness.
+        Must cover the pair-merged diagonal-bucket span (2 * 2^diag_bin_log2,
+        since a candidate covers bucket b and b+1) PLUS indel slack on both
+        sides — ~10% divergence is the sensitivity regime the reference
+        targets.  Rounded up for TPU lane friendliness.
         """
+        bucket_span = 2 * (1 << self.diag_bin_log2)
         if self.corridor:
-            return _round_up(self.corridor, 8)
-        return max(16, _round_up(int(read_len * 0.2), 8))
+            return bucket_span + _round_up(self.corridor, 8)
+        slack = max(16, _round_up(int(read_len * 0.15), 8))
+        return bucket_span + slack
 
     def kmers_per_read(self, read_len: int) -> int:
         return max(1, (read_len - self.kmer) // self.read_kmer_skip + 1)

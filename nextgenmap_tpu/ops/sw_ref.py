@@ -111,22 +111,27 @@ def banded_sw_score(
     gopen_q: jax.Array,  # scalar int32: penalty opening a gap consuming query (I)
     gopen_r: jax.Array,  # scalar int32: penalty opening a gap consuming ref (D)
     gext: jax.Array,     # scalar int32
+    msel: jax.Array | None = None,  # [B] int32 matrix index (e.g. bisulfite strand)
     *,
     band: int,
 ) -> ScoreResult:
-    """Score-only banded SW over a batch. ~L sequential steps of [B, W] VPU work."""
+    """Score-only banded SW over a batch. ~L sequential steps of [B, W] VPU work.
+
+    `matrix` may be [8,8] (shared) or [M,8,8] with per-row selector `msel`.
+    """
     B, L = query.shape
     W = band
     q = query.astype(jnp.int32)
     r = ref.astype(jnp.int32)
     flat = matrix.reshape(-1)
+    moff = jnp.zeros((B,), jnp.int32) if msel is None else msel.astype(jnp.int32) * 64
 
     # lax.scan over rows; slices of q and r per row
     def body(carry, i):
         h_prev, e_prev, best, bi, bo = carry
         qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]          # [B]
         rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)                # [B, W]
-        sub = flat[qi[:, None] * 8 + rw]
+        sub = flat[moff[:, None] + qi[:, None] * 8 + rw]
         h, e, *_ = _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext)
         valid = (i < qlen)[:, None]
         h_m = jnp.where(valid, h, 0)
@@ -154,6 +159,7 @@ def banded_sw_align(
     gopen_q: jax.Array,
     gopen_r: jax.Array,
     gext: jax.Array,
+    msel: jax.Array | None = None,
     *,
     band: int,
     max_ops: int = 0,
@@ -170,12 +176,13 @@ def banded_sw_align(
     q = query.astype(jnp.int32)
     r = ref.astype(jnp.int32)
     flat = matrix.reshape(-1)
+    moff = jnp.zeros((B,), jnp.int32) if msel is None else msel.astype(jnp.int32) * 64
 
     def body(carry, i):
         h_prev, e_prev, best, bi, bo = carry
         qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]
         rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)
-        sub = flat[qi[:, None] * 8 + rw]
+        sub = flat[moff[:, None] + qi[:, None] * 8 + rw]
         B_, W_ = sub.shape
         hd = h_prev + sub
         h_up = jnp.concatenate([h_prev[:, 1:], jnp.full((B_, 1), NEG, jnp.int32)], axis=1)
