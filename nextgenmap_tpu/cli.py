@@ -140,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("need -q or -1/-2 query reads")
     if a.paired and a.qry1:
         parser.error("-p (interleaved) conflicts with -1/-2")
+    if bool(a.qry1) != bool(a.qry2):
+        parser.error("-1 and -2 must be given together")
     cfg = config_from_args(a)
     from nextgenmap_tpu.pipeline.runner import run_mapping
 

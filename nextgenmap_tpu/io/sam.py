@@ -142,6 +142,19 @@ class SamWriter:
             f"{self._tags_suffix()}\n"
         )
 
+    def write_unmapped_at(self, name: str, codes: np.ndarray, qual: bytes | None,
+                          flag_extra: int, rname: str, pos1: int) -> None:
+        """Unmapped mate placed at its mapped partner's coordinates (SAM
+        convention so pairs stay collatable)."""
+        if self.cfg.no_unal:
+            return
+        seq = decode_seq(codes)
+        q = qual.decode("ascii") if qual else "*"
+        self.out.write(
+            f"{name}\t{FLAG_UNMAPPED | flag_extra}\t{rname}\t{pos1}\t0\t*\t=\t{pos1}\t0"
+            f"\t{seq}\t{q}{self._tags_suffix()}\n"
+        )
+
     def write_mapped(
         self,
         name: str,

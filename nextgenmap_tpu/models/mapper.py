@@ -1,20 +1,24 @@
-"""The flagship model: one jitted end-to-end mapping step.
+"""The flagship model: one jitted end-to-end mapping step (single or paired).
 
 Reference analog: the whole per-read hot path of SURVEY.md §3.2 — CS task ->
 ScoreBuffer/BatchScore -> top-n -> AlignmentBuffer/BatchAlign -> filters —
 which the reference spreads over pthread workers and device batch buffers
-(ref:src/CS.cpp, ref:src/ScoreBuffer.cpp, ref:src/AlignmentBuffer.cpp).
+(ref:src/CS.cpp, ref:src/ScoreBuffer.cpp, ref:src/AlignmentBuffer.cpp), plus
+the paired-end resolution that lives inside ScoreBuffer (SURVEY.md §2
+component 21: insert-size window + orientation + combined score, with
+broken-pair fallback).
 
-TPU-native shape (SURVEY.md §7 design stance): the four stages are fused into
-ONE bulk-synchronous jitted step over a `[B, L]` read batch:
+TPU-native shape (SURVEY.md §7 design stance): the stages are fused into ONE
+bulk-synchronous jitted step over a `[B, L]` read batch:
 
   rc -> candidate search (both strands) -> corridor gather ->
-  banded-SW score over all candidates -> deterministic best/second select ->
+  banded-SW score over all candidates -> deterministic selection
+  (single-end argmax, or paired CxC insert-window argmax) ->
   banded-SW traceback on the winner -> filters + MAPQ
 
 All shapes are static (caps + masks); overflow counters come back with the
-results.  The same function is what `__graft_entry__.entry()` exposes and
-what `parallel/` shards over a device mesh.
+results.  `map_step` / `map_step_paired` are what `__graft_entry__.entry()`
+exposes and what `parallel/` shards over a device mesh.
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ class MapResult(NamedTuple):
     mismatches: jax.Array  # int32
     indels: jax.Array      # int32
     n_candidates: jax.Array  # int32 CMRs scored for this read
+    proper: jax.Array      # bool — paired runs only (False for single-end)
     fanout_overflow: jax.Array  # [] int32
     cmr_overflow: jax.Array     # [] int32
 
@@ -65,33 +70,17 @@ def revcomp_batch(codes: jax.Array) -> jax.Array:
     return jnp.where(flipped < 4, 3 - flipped, flipped).astype(codes.dtype)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k", "fanout_cap", "max_cmrs", "diag_bin_log2", "band", "min_kmer_hits",
-    ),
-)
-def map_step(
-    genome: jax.Array,     # [G] uint8
-    offsets: jax.Array,    # [4^k+1] int32
-    positions: jax.Array,  # [P] int32
-    reads: jax.Array,      # [B, L] uint8
-    lengths: jax.Array,    # [B] int32
-    matrices: jax.Array,   # [2, 8, 8] int32 (fwd-strand, rev-strand)
-    gopen_q: jax.Array,
-    gopen_r: jax.Array,
-    gext: jax.Array,
-    sensitivity: jax.Array,   # float32 scalar
-    min_identity: jax.Array,  # float32 scalar
-    min_residues: jax.Array,  # float32 scalar
-    *,
-    k: int,
-    fanout_cap: int,
-    max_cmrs: int,
-    diag_bin_log2: int,
-    band: int,
-    min_kmer_hits: int = 1,
-) -> MapResult:
+def _candidates_and_scores(
+    genome, offsets, positions, reads, lengths, matrices,
+    gopen_q, gopen_r, gext, sensitivity,
+    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
+):
+    """CS on both strands + banded-SW scoring of every candidate.
+
+    Returns candidate arrays REORDERED by (strand asc, corridor start asc) so
+    later argmax/top_k selections tie-break per DESIGN.md rule 11, plus the
+    ordered corridors/queries needed for traceback.
+    """
     B, L = reads.shape
     W = band
     T = L + W
@@ -99,7 +88,6 @@ def map_step(
     G = genome.shape[0]
     bin_w = 1 << diag_bin_log2
 
-    # ---- candidate search on both strands (DESIGN.md rules 1-8) ----
     rc = revcomp_batch(reads)
     km_f, ok_f = extract_kmers(reads, lengths, k)
     # the rc flip moves right-padding to the front for reads shorter than L;
@@ -122,21 +110,28 @@ def map_step(
     bucket, cs_score, strand = merge_strand_candidates(cand_f, cand_r, C)
     cand_valid = cs_score >= max(1, min_kmer_hits)
 
-    # ---- corridor gather (ref: SequenceProvider corridor extraction) ----
+    # deterministic candidate order: (strand asc, corridor start asc)
     slack = (W - 2 * bin_w) // 2
     corr_start = jnp.where(
         cand_valid, (bucket << diag_bin_log2) - slack, 0
     ).astype(jnp.int32)
     corr_start = jnp.clip(corr_start, 0, max(0, G - T))
+    order_key = jnp.where(
+        cand_valid, strand * (2**30) + corr_start, 2**31 - 1
+    )
+    order = jnp.argsort(order_key, axis=1)
+    corr_start = jnp.take_along_axis(corr_start, order, axis=1)
+    strand = jnp.take_along_axis(strand, order, axis=1)
+    cand_valid = jnp.take_along_axis(cand_valid, order, axis=1)
+
+    # corridor gather (ref: SequenceProvider corridor extraction)
     gidx = corr_start[:, :, None] + jnp.arange(T, dtype=jnp.int32)[None, None, :]
     corridors = genome[jnp.clip(gidx, 0, G - 1)]          # [B, C, T]
     corridors = jnp.where(cand_valid[:, :, None], corridors, 4)
 
-    # ---- score every candidate (ref: IAlignment::BatchScore) ----
+    # score every candidate (ref: IAlignment::BatchScore)
     q_by_strand = jnp.stack([reads, rc], axis=1)          # [B, 2, L]
-    qcand = jnp.take_along_axis(
-        q_by_strand, strand[:, :, None], axis=1
-    )                                                      # [B, C, L]
+    qcand = jnp.take_along_axis(q_by_strand, strand[:, :, None], axis=1)
     flatB = B * C
     sres = banded_sw_score(
         qcand.reshape(flatB, L),
@@ -149,41 +144,38 @@ def map_step(
     )
     sw = jnp.where(cand_valid, sres.score.reshape(B, C), 0)
 
-    # ---- deterministic selection (DESIGN.md rule 11) ----
-    # reorder candidates by (strand asc, corridor_start asc) so stable top_k
-    # tie-breaks = score DESC, fwd first, position ASC
-    order_key = strand * (2**30) + corr_start
-    order_key = jnp.where(cand_valid, order_key, 2**31 - 1)
-    order = jnp.argsort(order_key, axis=1)
-    sw_o = jnp.take_along_axis(sw, order, axis=1)
-    start_o = jnp.take_along_axis(corr_start, order, axis=1)
-    strand_o = jnp.take_along_axis(strand, order, axis=1)
+    n_cands = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    overflow = (
+        cand_f.fanout_overflow + cand_r.fanout_overflow,
+        cand_f.cmr_overflow + cand_r.cmr_overflow,
+    )
+    return sw, corr_start, strand, corridors, qcand, n_cands, overflow
 
-    s1 = jnp.max(sw_o, axis=1)
-    a1 = jnp.argmax(sw_o, axis=1)                          # first max = rule 11
-    best_start = jnp.take_along_axis(start_o, a1[:, None], axis=1)[:, 0]
-    best_strand = jnp.take_along_axis(strand_o, a1[:, None], axis=1)[:, 0]
+
+def _finish(
+    a1, sw, corr_start, strand, corridors, qcand, lengths, matrices,
+    gopen_q, gopen_r, gext, min_identity, min_residues,
+    n_cands, overflow, proper, *, band,
+):
+    """Traceback the chosen candidate a1 [B] and apply filters + MAPQ."""
+    B, C = sw.shape
+    L = qcand.shape[2]
+
+    s1 = jnp.take_along_axis(sw, a1[:, None], axis=1)[:, 0]
+    best_start = jnp.take_along_axis(corr_start, a1[:, None], axis=1)[:, 0]
+    best_strand = jnp.take_along_axis(strand, a1[:, None], axis=1)[:, 0]
     # second best at a DIFFERENT locus (outside ±L of the winner) for MAPQ
-    far = jnp.abs(start_o - best_start[:, None]) > L
-    s2 = jnp.max(jnp.where(far, sw_o, 0), axis=1)
+    far = jnp.abs(corr_start - best_start[:, None]) > L
+    s2 = jnp.max(jnp.where(far, sw, 0), axis=1)
 
-    # ---- traceback on the winner (ref: IAlignment::BatchAlign) ----
-    bsel = a1[:, None]
-    best_corr = jnp.take_along_axis(
-        jnp.take_along_axis(corridors, order[:, :, None], axis=1),
-        bsel[:, :, None], axis=1,
-    )[:, 0]                                                # [B, T]
-    best_query = jnp.take_along_axis(
-        jnp.take_along_axis(qcand, order[:, :, None], axis=1),
-        bsel[:, :, None], axis=1,
-    )[:, 0]                                                # [B, L]
+    best_corr = jnp.take_along_axis(corridors, a1[:, None, None], axis=1)[:, 0]
+    best_query = jnp.take_along_axis(qcand, a1[:, None, None], axis=1)[:, 0]
     ares = banded_sw_align(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
-        band=W,
+        band=band,
     )
 
-    # ---- filters + MAPQ (DESIGN.md rule 12) ----
     aln_cols = jnp.maximum(1, ares.n_ops)
     identity = ares.matches.astype(jnp.float32) / aln_cols.astype(jnp.float32)
     residues = (ares.q_end - ares.q_start + 1).astype(jnp.float32)
@@ -199,9 +191,7 @@ def map_step(
         jnp.round(60.0 * (s1 - s2).astype(jnp.float32) / s1f), 0, 60
     ).astype(jnp.int32)
     mapq = jnp.where(mapped, mapq, 0)
-
     pos_abs = best_start + ares.r_start
-    n_cands = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
 
     return MapResult(
         mapped=mapped,
@@ -218,8 +208,112 @@ def map_step(
         mismatches=ares.mismatches,
         indels=ares.indels,
         n_candidates=n_cands,
-        fanout_overflow=cand_f.fanout_overflow + cand_r.fanout_overflow,
-        cmr_overflow=cand_f.cmr_overflow + cand_r.cmr_overflow,
+        proper=proper & mapped,
+        fanout_overflow=overflow[0],
+        cmr_overflow=overflow[1],
+    )
+
+
+_STATICS = ("k", "fanout_cap", "max_cmrs", "diag_bin_log2", "band", "min_kmer_hits")
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def map_step(
+    genome, offsets, positions, reads, lengths, matrices,
+    gopen_q, gopen_r, gext, sensitivity, min_identity, min_residues,
+    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1,
+) -> MapResult:
+    """Single-end mapping step (DESIGN.md rule 11 selection)."""
+    sw, corr_start, strand, corridors, qcand, n_cands, overflow = (
+        _candidates_and_scores(
+            genome, offsets, positions, reads, lengths, matrices,
+            gopen_q, gopen_r, gext, sensitivity,
+            k=k, fanout_cap=fanout_cap, max_cmrs=max_cmrs,
+            diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        )
+    )
+    a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
+    proper = jnp.zeros(sw.shape[0], dtype=bool)
+    return _finish(
+        a1, sw, corr_start, strand, corridors, qcand, lengths, matrices,
+        gopen_q, gopen_r, gext, min_identity, min_residues,
+        n_cands, overflow, proper, band=band,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def map_step_paired(
+    genome, offsets, positions, reads, lengths, matrices,
+    gopen_q, gopen_r, gext, sensitivity, min_identity, min_residues,
+    min_insert, max_insert, pair_cutoff,
+    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1,
+) -> MapResult:
+    """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
+
+    Pair resolution is a CxC combined-score argmax per pair over an
+    FR-orientation + insert-window validity mask, computed from candidate
+    corridor positions (like the reference, pairing happens on scores before
+    traceback).  Falls back to best singletons when no pair clears
+    pair_cutoff * (best1 + best2) — the "broken pair" path.
+    """
+    sw, corr_start, strand, corridors, qcand, n_cands, overflow = (
+        _candidates_and_scores(
+            genome, offsets, positions, reads, lengths, matrices,
+            gopen_q, gopen_r, gext, sensitivity,
+            k=k, fanout_cap=fanout_cap, max_cmrs=max_cmrs,
+            diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        )
+    )
+    B, C = sw.shape
+    L = qcand.shape[2]
+    P = B // 2
+    bin_w = 1 << diag_bin_log2
+
+    s = sw.reshape(P, 2, C)
+    # approximate alignment start = corridor start + slack (candidate diagonal)
+    slack = (band - 2 * bin_w) // 2
+    pos = (corr_start + slack).reshape(P, 2, C)
+    st = strand.reshape(P, 2, C)
+
+    s1m = s[:, 0, :, None]                     # [P, C, 1]
+    s2m = s[:, 1, None, :]                     # [P, 1, C]
+    p1 = pos[:, 0, :, None]
+    p2 = pos[:, 1, None, :]
+    st1 = st[:, 0, :, None]
+    st2 = st[:, 1, None, :]
+
+    # FR orientation: strands differ and the forward mate lies leftmost
+    margin = 2 * bin_w
+    ok_orient = st1 != st2
+    fwd_left = jnp.where(st1 == 0, p1 <= p2 + margin, p2 <= p1 + margin)
+    span = jnp.abs(p2 - p1) + L                 # approximate outer distance
+    ok_ins = (span >= min_insert - margin) & (span <= max_insert + margin)
+    valid = ok_orient & fwd_left & ok_ins & (s1m > 0) & (s2m > 0)
+    combined = jnp.where(valid, s1m + s2m, -1)  # [P, C, C]
+
+    flat = combined.reshape(P, C * C)
+    pair_best = jnp.max(flat, axis=1)
+    pair_arg = jnp.argmax(flat, axis=1)         # first max: c1 ASC then c2 ASC
+    c1 = pair_arg // C
+    c2 = pair_arg % C
+
+    best1 = jnp.max(s[:, 0], axis=1)
+    best2 = jnp.max(s[:, 1], axis=1)
+    proper_pair = (pair_best > 0) & (
+        pair_best.astype(jnp.float32)
+        >= pair_cutoff * (best1 + best2).astype(jnp.float32)
+    )
+
+    a_single = jnp.argmax(sw, axis=1).reshape(P, 2)
+    sel1 = jnp.where(proper_pair, c1, a_single[:, 0])
+    sel2 = jnp.where(proper_pair, c2, a_single[:, 1])
+    a1 = jnp.stack([sel1, sel2], axis=1).reshape(B)
+    proper = jnp.repeat(proper_pair, 2)
+
+    return _finish(
+        a1, sw, corr_start, strand, corridors, qcand, lengths, matrices,
+        gopen_q, gopen_r, gext, min_identity, min_residues,
+        n_cands, overflow, proper, band=band,
     )
 
 
@@ -242,9 +336,9 @@ class Mapper:
         )
         self.band = self.cfg.corridor_for(self.read_len)
 
-    def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
+    def _common_args(self, codes, lengths):
         cfg = self.cfg
-        return map_step(
+        return (
             self._genome_dev, self._off_dev, self._pos_dev,
             jnp.asarray(codes), jnp.asarray(lengths, jnp.int32),
             self._matrices,
@@ -252,7 +346,24 @@ class Mapper:
             jnp.int32(cfg.gap_extend_penalty),
             jnp.float32(cfg.sensitivity),
             jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
+        )
+
+    def _statics(self):
+        cfg = self.cfg
+        return dict(
             k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, max_cmrs=cfg.max_cmrs,
             diag_bin_log2=cfg.diag_bin_log2, band=self.band,
             min_kmer_hits=max(1, cfg.kmer_min),
+        )
+
+    def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
+        return map_step(*self._common_args(codes, lengths), **self._statics())
+
+    def map_batch_paired(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
+        cfg = self.cfg
+        return map_step_paired(
+            *self._common_args(codes, lengths),
+            jnp.int32(cfg.min_insert_size), jnp.int32(cfg.max_insert_size),
+            jnp.float32(cfg.pair_score_cutoff),
+            **self._statics(),
         )
