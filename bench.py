@@ -1,0 +1,135 @@
+"""Benchmark: reads/sec/chip + GCUPS on a BASELINE-config-1-style workload.
+
+Runs on whatever JAX backend is default (the driver provides one real TPU
+chip).  Workload: E. coli-scale synthetic genome (4.6 Mbp) + simulated
+100 bp single-end reads at 2% SNPs, mapped end-to-end through the jitted
+device step (CS -> score -> select -> traceback).  Host SAM formatting is
+excluded — the metric targets the device mapping step, which is what scales
+across chips.
+
+vs_baseline: BASELINE.md records that the reference has NO published
+machine-readable numbers (paper claims are qualitative).  As the documented
+proxy we use 15,000 reads/s — the order of magnitude NextGenMap-era mappers
+sustained on a 2013 quad-core CPU for 100 bp SE reads at default
+sensitivity ("comparable-or-faster than BWA", BASELINE.md).  The line below
+is therefore read: value/15000 = speedup over a reference-class deployment.
+
+Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nextgenmap_tpu.config import NgmConfig
+from nextgenmap_tpu.io.simulate import random_genome, simulate_reads_fast
+from nextgenmap_tpu.models.mapper import map_step
+from nextgenmap_tpu.ops.scoring import score_matrix
+
+GENOME_SIZE = 4_600_000   # E. coli K-12 scale
+READ_LEN = 100
+BATCH = 2048
+N_BATCHES = 24            # 49k reads timed
+SNP_RATE = 0.02
+BASELINE_READS_PER_SEC = 15_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    cfg = NgmConfig()  # defaults: k=13, skip=2 — the reference configuration
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    t0 = time.time()
+    g = random_genome(GENOME_SIZE, seed=1)
+    genome_d = jax.device_put(jnp.asarray(g))
+    from nextgenmap_tpu.index.device_build import build_index_device
+
+    off_d, pos_d = build_index_device(genome_d, k=cfg.kmer, skip=cfg.kmer_skip)
+    jax.block_until_ready(pos_d)
+    log(f"index built on device in {time.time() - t0:.1f}s ({pos_d.shape[0]} positions)")
+
+    codes, truth_pos, truth_strand = simulate_reads_fast(
+        g, BATCH * N_BATCHES, read_len=READ_LEN, snp_rate=SNP_RATE, seed=2
+    )
+    lens = np.full(BATCH, READ_LEN, np.int32)
+    mats = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
+    band = cfg.corridor_for(READ_LEN)
+    statics = dict(
+        k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, max_cmrs=cfg.max_cmrs,
+        diag_bin_log2=cfg.diag_bin_log2, band=band, min_kmer_hits=1,
+    )
+
+    mats_d = jnp.asarray(mats)
+    lens_d = jnp.asarray(lens)
+    scal = (
+        jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),
+        jnp.int32(cfg.gap_extend_penalty), jnp.float32(cfg.sensitivity),
+        jnp.int32(cfg.max_kmer_freq),
+        jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
+    )
+
+    def run(batch_codes):
+        return map_step(
+            genome_d, off_d, pos_d, batch_codes, lens_d, mats_d, *scal, **statics
+        )
+
+    # warmup/compile
+    t0 = time.time()
+    first = run(jnp.asarray(codes[:BATCH]))
+    jax.block_until_ready(first)
+    log(f"compile+first batch: {time.time() - t0:.1f}s")
+
+    # timed loop (data is pre-generated; host->device transfer included)
+    t0 = time.time()
+    mapped = 0
+    results = []
+    for b in range(N_BATCHES):
+        r = run(jnp.asarray(codes[b * BATCH : (b + 1) * BATCH]))
+        results.append(r)
+    for r in results:
+        jax.block_until_ready(r)
+        mapped += int(np.asarray(r.mapped).sum())
+    dt = time.time() - t0
+    n_reads = BATCH * N_BATCHES
+    rps = n_reads / dt
+
+    # DP cells for GCUPS: both strands scored over C candidates is the actual
+    # compute; count cells actually executed (score pass over all candidates
+    # + traceback pass over the winner)
+    n_cands = sum(int(np.asarray(r.n_candidates).sum()) for r in results)
+    cells = (n_cands + n_reads) * READ_LEN * band
+    gcups = cells / dt / 1e9
+
+    # accuracy audit (not part of the metric, but printed for honesty)
+    r0 = results[0]
+    p = np.asarray(r0.pos)[: BATCH]
+    st = np.asarray(r0.strand)[:BATCH]
+    ok = (
+        np.asarray(r0.mapped)[:BATCH]
+        & (np.abs(p.astype(np.int64) - truth_pos[:BATCH]) <= 5)
+        & (st == truth_strand[:BATCH])
+    ).sum()
+    log(
+        f"reads/s: {rps:.0f}  GCUPS: {gcups:.2f}  mapped: {mapped}/{n_reads}"
+        f"  first-batch truth accuracy: {int(ok)}/{BATCH}"
+    )
+
+    print(json.dumps({
+        "metric": "reads_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

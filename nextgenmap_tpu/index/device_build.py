@@ -1,0 +1,67 @@
+"""Device-side (jitted) CSR k-mer index construction.
+
+Reference analog: the two-pass CompactPrefixTable build
+(ref:src/CompactPrefixTable.cpp) — "pass 1 counts per-kmer occurrences ->
+offset array; pass 2 fills position lists" — which SURVEY.md §3.1 marks HOT
+(whole-genome scan x2).  The host numpy build (kmer_index.py) mirrors that
+design; this module is the TPU-native form: the two passes become a
+scatter-add + cumsum + stable sort_key_val on device, so building the E. coli
+index takes milliseconds instead of minutes and per-shard GRCh38 builds run
+where the shard lives.
+
+Representation difference vs the host build: over-frequent (repeat-masked)
+rows are NOT physically removed — every enumerated k-mer position stays in
+the positions array, and candidate search drops over-frequent rows at lookup
+time via its max_freq argument (ops/candidate.py).  Invalid windows (N/pad,
+stride phase) are routed to an overflow bucket 4^k that no lookup ever
+touches.  CSR rows remain ascending (stable sort over position-ordered input)
+so DESIGN.md rule 2 holds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nextgenmap_tpu.io.encode import CODE_C, CODE_T
+
+
+@partial(jax.jit, static_argnames=("k", "skip", "collapse_ct"))
+def build_index_device(
+    genome: jax.Array,  # [G] uint8 codes
+    *,
+    k: int,
+    skip: int,
+    collapse_ct: bool = False,
+):
+    """Returns (offsets int32 [4^k + 2], positions int32 [Q]).
+
+    offsets covers 4^k real buckets plus the invalid-window overflow bucket;
+    Q = (G - k)//skip + 1 (static).  positions holds genome coordinates
+    grouped by k-mer, ascending within each row.
+    """
+    G = genome.shape[0]
+    nb = 4**k
+    Q = (G - k) // skip + 1
+    c = genome.astype(jnp.int32)
+    if collapse_ct:
+        c = jnp.where(c == CODE_C, CODE_T, c)
+
+    vals = jnp.zeros((Q,), dtype=jnp.int32)
+    ok = jnp.ones((Q,), dtype=bool)
+    for j in range(k):
+        w = jax.lax.slice(c, (j,), (j + (Q - 1) * skip + 1,), (skip,))
+        vals = (vals << 2) | (w & 3)
+        ok &= w < 4
+    vals = jnp.where(ok, vals, nb)  # invalid windows -> overflow bucket
+
+    counts = jnp.zeros((nb + 1,), jnp.int32).at[vals].add(1)
+    offsets = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)
+    ])
+    pos = jnp.arange(Q, dtype=jnp.int32) * skip
+    # stable sort keeps per-row positions ascending (DESIGN.md rule 2)
+    _, positions = jax.lax.sort_key_val(vals, pos, is_stable=True)
+    return offsets, positions

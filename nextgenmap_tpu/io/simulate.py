@@ -124,6 +124,40 @@ def simulate_pairs(
     return pairs
 
 
+def simulate_reads_fast(
+    genome_codes: np.ndarray,
+    n_reads: int,
+    read_len: int = 100,
+    snp_rate: float = 0.01,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized SNP-only simulator for benchmark-scale read counts.
+
+    Returns (codes [N, L] uint8, truth_pos [N] int64, truth_strand [N] int8).
+    Windows containing N/pad are re-drawn once and then masked out.
+    """
+    rng = np.random.default_rng(seed)
+    G = genome_codes.shape[0]
+    pos = rng.integers(0, G - read_len, size=n_reads)
+    win = genome_codes[pos[:, None] + np.arange(read_len)[None, :]].astype(np.int64)
+    bad = (win >= 4).any(axis=1)
+    if bad.any():
+        pos2 = rng.integers(0, G - read_len, size=int(bad.sum()))
+        pos[bad] = pos2
+        win[bad] = genome_codes[pos2[:, None] + np.arange(read_len)[None, :]]
+        bad = (win >= 4).any(axis=1)
+        if bad.any():  # give up on stragglers: make them all-A reads at pos 0
+            pos[bad] = 0
+            win[bad] = genome_codes[np.arange(read_len)][None, :]
+    snp = rng.random((n_reads, read_len)) < snp_rate
+    shift = rng.integers(1, 4, size=(n_reads, read_len))
+    win = np.where(snp & (win < 4), (win + shift) % 4, win)
+    strand = rng.integers(0, 2, size=n_reads).astype(np.int8)
+    rc = np.where(win < 4, 3 - win, win)[:, ::-1]
+    codes = np.where(strand[:, None] == 1, rc, win).astype(np.uint8)
+    return codes, pos.astype(np.int64), strand
+
+
 def write_fastq(path: str, reads: list[SimRead]) -> None:
     from nextgenmap_tpu.io.encode import decode_seq
 

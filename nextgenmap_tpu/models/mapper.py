@@ -72,8 +72,9 @@ def revcomp_batch(codes: jax.Array) -> jax.Array:
 
 def _candidates_and_scores(
     genome, offsets, positions, reads, lengths, matrices,
-    gopen_q, gopen_r, gext, sensitivity,
+    gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
+    cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
@@ -100,12 +101,14 @@ def _candidates_and_scores(
     km_r, ok_r = extract_kmers(rc, lengths, k)
 
     cand_f = candidate_search(
-        km_f, ok_f, offsets, positions, sensitivity,
+        km_f, ok_f, offsets, positions, sensitivity, max_freq,
         fanout_cap=fanout_cap, max_cmrs=max_cmrs, diag_bin_log2=diag_bin_log2,
+        axis_name=cs_axis,
     )
     cand_r = candidate_search(
-        km_r, ok_r, offsets, positions, sensitivity,
+        km_r, ok_r, offsets, positions, sensitivity, max_freq,
         fanout_cap=fanout_cap, max_cmrs=max_cmrs, diag_bin_log2=diag_bin_log2,
+        axis_name=cs_axis,
     )
     bucket, cs_score, strand = merge_strand_candidates(cand_f, cand_r, C)
     cand_valid = cs_score >= max(1, min_kmer_hits)
@@ -196,7 +199,7 @@ def _finish(
     return MapResult(
         mapped=mapped,
         strand=best_strand,
-        pos=jnp.where(mapped, pos_abs, 0),
+        pos=pos_abs,  # raw even when filtered-unmapped; consumers gate on `mapped`
         mapq=mapq,
         score=s1,
         second=s2,
@@ -214,22 +217,23 @@ def _finish(
     )
 
 
-_STATICS = ("k", "fanout_cap", "max_cmrs", "diag_bin_log2", "band", "min_kmer_hits")
+_STATICS = ("k", "fanout_cap", "max_cmrs", "diag_bin_log2", "band", "min_kmer_hits", "cs_axis")
 
 
 @partial(jax.jit, static_argnames=_STATICS)
 def map_step(
     genome, offsets, positions, reads, lengths, matrices,
-    gopen_q, gopen_r, gext, sensitivity, min_identity, min_residues,
-    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1,
+    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
+    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
     sw, corr_start, strand, corridors, qcand, n_cands, overflow = (
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,
-            gopen_q, gopen_r, gext, sensitivity,
+            gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+            cs_axis=cs_axis,
         )
     )
     a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
@@ -244,9 +248,9 @@ def map_step(
 @partial(jax.jit, static_argnames=_STATICS)
 def map_step_paired(
     genome, offsets, positions, reads, lengths, matrices,
-    gopen_q, gopen_r, gext, sensitivity, min_identity, min_residues,
+    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff,
-    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1,
+    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -259,9 +263,10 @@ def map_step_paired(
     sw, corr_start, strand, corridors, qcand, n_cands, overflow = (
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,
-            gopen_q, gopen_r, gext, sensitivity,
+            gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+            cs_axis=cs_axis,
         )
     )
     B, C = sw.shape
@@ -319,18 +324,32 @@ def map_step_paired(
 
 @dataclass
 class Mapper:
-    """Host-side handle: owns device-resident genome + index and the jitted step."""
+    """Host-side handle: owns device-resident genome + index and the jitted step.
+
+    index=None (the default path) builds the CSR table ON DEVICE
+    (index/device_build.py) — milliseconds instead of the host two-pass scan;
+    pass a host KmerIndex to reuse a memoized artifact instead.
+    """
 
     cfg: NgmConfig
     genome: Genome
-    index: KmerIndex
     read_len: int
+    index: KmerIndex | None = None
 
     def __post_init__(self):
-        off, pos = self.index.device_arrays()
         self._genome_dev = jax.device_put(jnp.asarray(self.genome.codes))
-        self._off_dev = jax.device_put(jnp.asarray(off))
-        self._pos_dev = jax.device_put(jnp.asarray(pos))
+        if self.index is None:
+            from nextgenmap_tpu.index.device_build import build_index_device
+
+            off, pos = build_index_device(
+                self._genome_dev, k=self.cfg.kmer, skip=self.cfg.kmer_skip,
+                collapse_ct=self.cfg.bs_mapping,
+            )
+            self._off_dev, self._pos_dev = off, pos
+        else:
+            off, pos = self.index.device_arrays()
+            self._off_dev = jax.device_put(jnp.asarray(off))
+            self._pos_dev = jax.device_put(jnp.asarray(pos))
         self._matrices = jnp.asarray(
             np.stack([score_matrix(self.cfg, 0), score_matrix(self.cfg, 1)])
         )
@@ -344,7 +363,7 @@ class Mapper:
             self._matrices,
             jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),
             jnp.int32(cfg.gap_extend_penalty),
-            jnp.float32(cfg.sensitivity),
+            jnp.float32(cfg.sensitivity), jnp.int32(cfg.max_kmer_freq),
             jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
         )
 

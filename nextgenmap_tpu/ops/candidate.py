@@ -50,17 +50,24 @@ def _cummin_rev(x, axis):
     return jax.lax.associative_scan(jnp.minimum, x, axis=axis, reverse=True)
 
 
-@partial(jax.jit, static_argnames=("fanout_cap", "max_cmrs", "diag_bin_log2"))
+@partial(
+    jax.jit, static_argnames=("fanout_cap", "max_cmrs", "diag_bin_log2", "axis_name")
+)
 def candidate_search(
     kmers: jax.Array,        # [B, Q] int32 k-mer values
     kvalid: jax.Array,       # [B, Q] bool
     offsets: jax.Array,      # [4^k + 1] int32 CSR offsets (device-resident)
     positions: jax.Array,    # [P] int32 genome positions (device-resident)
     sensitivity: jax.Array,  # scalar float32
+    max_freq: jax.Array,     # scalar int32: repeat mask applied at lookup time
+                             # (no-op for host-built indexes, which drop
+                             # over-frequent rows at build; required for the
+                             # device-built index, see index/device_build.py)
     *,
     fanout_cap: int,
     max_cmrs: int,
     diag_bin_log2: int,
+    axis_name: str | None = None,
 ) -> Candidates:
     B, Q = kmers.shape
     K = fanout_cap
@@ -69,6 +76,7 @@ def candidate_search(
     km = jnp.where(kvalid, kmers, 0)
     start = offsets[km]                      # [B, Q]
     cnt = offsets[km + 1] - start            # [B, Q]
+    cnt = jnp.where(cnt > max_freq, 0, cnt)  # repeat masking (lookup-time)
     fanout_overflow = jnp.sum(jnp.where(kvalid, (cnt > K).astype(jnp.int32), 0))
     cnt_c = jnp.minimum(cnt, K)
 
@@ -108,8 +116,12 @@ def candidate_search(
     key = jnp.where(is_start & (s != SENTINEL), merged, 0)
 
     best = jnp.max(key, axis=1)                   # [B]
+    # under index sharding the adaptive threshold must be relative to the
+    # GLOBAL best bucket score, or shard count changes the candidate set
+    # (DESIGN.md rule 15); axis_name names the index-shard mesh axis
+    best_thr = jax.lax.pmax(best, axis_name) if axis_name else best
     thresh = jnp.maximum(
-        1, jnp.ceil(best.astype(jnp.float32) * sensitivity)
+        1, jnp.ceil(best_thr.astype(jnp.float32) * sensitivity)
     ).astype(jnp.int32)
     eligible = key >= thresh[:, None]
     n_cands = jnp.sum(eligible, axis=1)

@@ -69,6 +69,29 @@ class AlignResult(NamedTuple):
     indels: jax.Array    # [B] int32 total gap length
 
 
+
+def _sub_scores(flat, n_mats, moff, qi, rw):
+    """Substitution scores without a gather.
+
+    TPU gathers are element-serial, and the naive `flat[qi*8 + rw]` lookup
+    inside the row scan dominated the whole kernel (~80% of map_step time).
+    The alphabet is 5 codes and the matrix count is tiny and static, so the
+    lookup is instead built from vector compares/selects: per row compute
+    Rq[c] = S[msel, qi, c] with M*25 scalar-coefficient selects on [B], then
+    combine over the ref codes with 5 selects on [B, W].
+    """
+    sub = jnp.zeros(rw.shape, jnp.int32)
+    for c in range(5):
+        rqc = jnp.zeros(qi.shape, jnp.int32)
+        for m in range(n_mats):
+            base = m * 64
+            for a in range(5):
+                coef = flat[base + a * 8 + c]
+                sel = (qi == a) if n_mats == 1 else ((qi == a) & (moff == base))
+                rqc = rqc + jnp.where(sel, coef, 0)
+        sub = sub + jnp.where(rw == c, rqc[:, None], 0)
+    return sub
+
 def _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext):
     """One DP row. Returns (h, e, htmp-F decomposition pieces for dirs)."""
     B, W = sub.shape
@@ -124,6 +147,7 @@ def banded_sw_score(
     q = query.astype(jnp.int32)
     r = ref.astype(jnp.int32)
     flat = matrix.reshape(-1)
+    n_mats = flat.shape[0] // 64
     moff = jnp.zeros((B,), jnp.int32) if msel is None else msel.astype(jnp.int32) * 64
 
     # lax.scan over rows; slices of q and r per row
@@ -131,7 +155,7 @@ def banded_sw_score(
         h_prev, e_prev, best, bi, bo = carry
         qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]          # [B]
         rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)                # [B, W]
-        sub = flat[moff[:, None] + qi[:, None] * 8 + rw]
+        sub = _sub_scores(flat, n_mats, moff, qi, rw)
         h, e, *_ = _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext)
         valid = (i < qlen)[:, None]
         h_m = jnp.where(valid, h, 0)
@@ -176,13 +200,14 @@ def banded_sw_align(
     q = query.astype(jnp.int32)
     r = ref.astype(jnp.int32)
     flat = matrix.reshape(-1)
+    n_mats = flat.shape[0] // 64
     moff = jnp.zeros((B,), jnp.int32) if msel is None else msel.astype(jnp.int32) * 64
 
     def body(carry, i):
         h_prev, e_prev, best, bi, bo = carry
         qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]
         rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)
-        sub = flat[moff[:, None] + qi[:, None] * 8 + rw]
+        sub = _sub_scores(flat, n_mats, moff, qi, rw)
         B_, W_ = sub.shape
         hd = h_prev + sub
         h_up = jnp.concatenate([h_prev[:, 1:], jnp.full((B_, 1), NEG, jnp.int32)], axis=1)

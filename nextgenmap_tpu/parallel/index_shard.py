@@ -1,0 +1,252 @@
+"""Index sharding by genome-position range + cross-shard result merge.
+
+Reference analog: none — the reference holds one index per process
+(ref:src/CompactPrefixTable.cpp).  This is the TP-analog capability of
+SURVEY.md §2.2: for genomes too big for one device (GRCh38, BASELINE config
+4), the CSR k-mer table and the genome are split into S contiguous position
+ranges; reads are replicated across the "ish" mesh axis, every shard runs
+the full local pipeline against its range, and per-shard best hits are merged
+with all_gather + lexicographic argmax — exactly the north-star sentence
+"per-shard best-hit candidates and alignment scores merged via
+all-gather/reduce collectives before SAM emission".
+
+Determinism (DESIGN.md rule 15): each shard has a halo (>= corridor + read
+length + max insert) so boundary loci are fully alignable, but a shard only
+*owns* results whose position falls in its core range — halo duplicates are
+masked out before the merge, and the merge key (score DESC, strand fwd
+first, position ASC, shard ASC) makes the output independent of S.
+
+Positions inside a shard are rebased to local int32, which is what makes
+>2^31-base genomes (GRCh38 concatenated) addressable: no global int64
+arithmetic ever runs on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nextgenmap_tpu.config import NgmConfig
+from nextgenmap_tpu.index.kmer_index import KmerIndex
+from nextgenmap_tpu.io.encode import PAD
+from nextgenmap_tpu.models.mapper import MapResult, map_step, map_step_paired
+
+INT_MAX = np.int32(2**31 - 1)
+# global positions ride uint32 on device (GRCh38 concatenated exceeds int31)
+UPOS_MAX = jnp.uint32(2**32 - 1)
+
+
+@dataclass
+class ShardedIndex:
+    """Host-side container of per-shard genome slices + CSR tables, stacked
+    along a leading shard axis so shard_map can split them over "ish".
+
+    Note: stacking materializes all shards on one host — fine for tests and
+    single-host runs; multi-host pods construct only their own shard(s) and
+    feed them via per-host jax.make_array_from_single_device_arrays.
+    """
+
+    n_shards: int
+    genome: np.ndarray      # [S, Gs] uint8 (PAD-padded slices)
+    offsets: np.ndarray     # [S, 4^k+1] int32
+    positions: np.ndarray   # [S, Pmax] int32 (local coords, 0-padded)
+    base: np.ndarray        # [S] uint32 global position of slice start
+    core_lo: np.ndarray     # [S] uint32 ownership range
+    core_hi: np.ndarray     # [S] uint32  (genome must be < 2^32 bases)
+
+    @classmethod
+    def build(
+        cls, index: KmerIndex, genome_codes: np.ndarray, n_shards: int, halo: int
+    ) -> "ShardedIndex":
+        """Split a built global index into position-range shards.
+
+        Reuses the global CSR (so repeat masking stays globally consistent —
+        a shard never resurrects a globally over-frequent k-mer, which would
+        break shard-count invariance).
+        """
+        G = genome_codes.shape[0]
+        span = -(-G // n_shards)
+        nb = index.n_buckets
+        row_id = np.repeat(
+            np.arange(nb, dtype=np.int64), np.diff(index.offsets)
+        )
+        pos_all = index.positions.astype(np.int64)
+
+        slices, offs, poss, bases, clo, chi = [], [], [], [], [], []
+        for s in range(n_shards):
+            core_l, core_h = s * span, min(G, (s + 1) * span)
+            lo, hi = max(0, core_l - halo), min(G, core_h + halo)
+            m = (pos_all >= lo) & (pos_all < hi)
+            counts = np.bincount(row_id[m], minlength=nb)
+            off = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            local = (pos_all[m] - lo).astype(np.int32)
+            slices.append(genome_codes[lo:hi])
+            offs.append(off.astype(np.int32))
+            poss.append(local)
+            bases.append(lo)
+            clo.append(core_l)
+            chi.append(core_h)
+
+        gs = max(x.shape[0] for x in slices)
+        pm = max(1, max(x.shape[0] for x in poss))
+        genome = np.full((n_shards, gs), PAD, dtype=np.uint8)
+        positions = np.zeros((n_shards, pm), dtype=np.int32)
+        for s in range(n_shards):
+            genome[s, : slices[s].shape[0]] = slices[s]
+            positions[s, : poss[s].shape[0]] = poss[s]
+        return cls(
+            n_shards=n_shards,
+            genome=genome,
+            offsets=np.stack(offs),
+            positions=positions,
+            base=np.asarray(bases, np.uint32),
+            core_lo=np.asarray(clo, np.uint32),
+            core_hi=np.asarray(chi, np.uint32),
+        )
+
+    @staticmethod
+    def halo_for(cfg: NgmConfig, read_len: int, paired: bool) -> int:
+        h = read_len + cfg.corridor_for(read_len)
+        if paired:
+            h += cfg.max_insert_size
+        return h
+
+
+def _lex_winner(sc, st, gp):
+    """Lexicographic argmax over the leading shard axis:
+    (score DESC, strand fwd first, global position ASC, shard ASC)."""
+    best_sc = jnp.max(sc, axis=0)
+    cand = sc == best_sc
+    st_m = jnp.where(cand, st, 2)
+    cand &= st_m == jnp.min(st_m, axis=0)
+    gp_m = jnp.where(cand, gp, UPOS_MAX)
+    cand &= gp_m == jnp.min(gp_m, axis=0)
+    return jnp.argmax(cand, axis=0), best_sc  # argmax = first true = lowest shard
+
+
+def _take_shard(field_all, winner):
+    """field_all [S, B, ...] -> [B, ...] selecting winner[b] per read."""
+    extra = field_all.ndim - 2
+    idx = winner.reshape(winner.shape + (1,) * extra)[None]
+    return jnp.take_along_axis(field_all, idx, axis=0)[0]
+
+
+def make_index_sharded_map_step(mesh: Mesh, paired: bool, read_len: int, **statics):
+    """Mapping step over a ("dp", "ish") mesh: reads data-parallel over dp,
+    index position-sharded over ish, per-read (or per-pair) merge over ish."""
+    base_fn = map_step_paired if paired else map_step
+    fn = partial(base_fn, cs_axis="ish", **statics)
+    L = read_len
+
+    def inner(genome_s, off_s, pos_s, base_s, core_lo_s, core_hi_s, *args):
+        res = fn(genome_s[0], off_s[0], pos_s[0], *args)
+        B = res.pos.shape[0]
+        shard_base = base_s[0].astype(jnp.uint32)
+        # ownership by RAW score + core range (not the post-filter `mapped`
+        # flag): the single-device semantics pick the SW argmax first and
+        # apply identity/residue filters to the winner only, and the MAPQ
+        # second-best counts unfiltered candidates
+        has_aln = res.score > 0
+        gpos = jnp.where(has_aln, shard_base + res.pos.astype(jnp.uint32), UPOS_MAX)
+        own = (
+            has_aln
+            & (gpos >= core_lo_s[0].astype(jnp.uint32))
+            & (gpos < core_hi_s[0].astype(jnp.uint32))
+        )
+        score_m = jnp.where(own, res.score, -1)
+        strand_m = jnp.where(own, res.strand, 2)
+        gpos_m = jnp.where(own, gpos, UPOS_MAX)
+
+        ag = lambda x: jax.lax.all_gather(x, "ish")
+        sc_all = ag(score_m)          # [S, B]
+        st_all = ag(strand_m)
+        gp_all = ag(gpos_m)
+        winner, _ = _lex_winner(sc_all, st_all, gp_all)
+
+        if paired:
+            # pair-consistent merge: a proper pair is owned via MATE1's
+            # position; if any shard resolved the pair properly, both mates
+            # come from the (proper DESC, combined DESC, pos1 ASC, shard ASC)
+            # winner; otherwise mates merge independently (broken pair).
+            Pn = B // 2
+            s_pair = score_m.reshape(Pn, 2)
+            proper_p = res.proper.reshape(Pn, 2)[:, 0] & res.proper.reshape(Pn, 2)[:, 1]
+            own1 = own.reshape(Pn, 2)[:, 0]
+            pair_ok = proper_p & own1
+            combined = jnp.where(pair_ok, s_pair[:, 0] + s_pair[:, 1], -1)
+            gp1 = jnp.where(pair_ok, gpos.reshape(Pn, 2)[:, 0], UPOS_MAX)
+            comb_all = ag(combined)       # [S, Pn]
+            gp1_all = ag(gp1)
+            best_comb = jnp.max(comb_all, axis=0)
+            candp = comb_all == best_comb
+            gp1_m = jnp.where(candp, gp1_all, UPOS_MAX)
+            candp &= gp1_m == jnp.min(gp1_m, axis=0)
+            winner_pair = jnp.argmax(candp, axis=0)
+            any_proper = best_comb > 0
+            winner = jnp.where(
+                jnp.repeat(any_proper, 2),
+                jnp.repeat(winner_pair, 2),
+                winner,
+            )
+
+        # global second-best for MAPQ: other shards' best at a different
+        # locus, or the winner shard's own local second
+        win_gp = _take_shard(gp_all, winner)
+        win_sc = _take_shard(sc_all, winner)
+        # unsigned distance (uint32 subtraction wraps; use max-min)
+        far = (
+            jnp.maximum(gp_all, win_gp[None]) - jnp.minimum(gp_all, win_gp[None])
+        ) > jnp.uint32(L)
+        s2_other = jnp.max(jnp.where(far, sc_all, 0), axis=0)
+        s2_local = _take_shard(ag(res.second), winner)
+        s2 = jnp.maximum(s2_other, s2_local)
+
+        merged = {}
+        for name in MapResult._fields:
+            val = getattr(res, name)
+            if name in ("fanout_overflow", "cmr_overflow"):
+                merged[name] = jax.lax.psum(val, "ish")
+                continue
+            if name == "pos":
+                val = gpos  # uint32 global coordinates
+            merged[name] = _take_shard(ag(val), winner)
+
+        mapped = merged["mapped"] & (win_sc > 0)
+        s1f = jnp.maximum(1, win_sc).astype(jnp.float32)
+        mapq = jnp.clip(
+            jnp.round(60.0 * (win_sc - s2).astype(jnp.float32) / s1f), 0, 60
+        ).astype(jnp.int32)
+        merged["mapped"] = mapped
+        merged["second"] = s2
+        merged["mapq"] = jnp.where(mapped, mapq, 0)
+        merged["proper"] = merged["proper"] & mapped
+        # dp-axis reduction of the audit counters
+        merged["fanout_overflow"] = jax.lax.psum(merged["fanout_overflow"], "dp")
+        merged["cmr_overflow"] = jax.lax.psum(merged["cmr_overflow"], "dp")
+        return MapResult(**merged)
+
+    n_scalar = 10 if paired else 7
+    in_specs = (
+        P("ish"), P("ish"), P("ish"), P("ish"), P("ish"), P("ish"),
+        P("dp"), P("dp"),   # reads, lengths
+        P(),                # matrices
+    ) + (P(),) * n_scalar
+    out_specs = MapResult(
+        **{
+            name: P() if name.endswith("overflow") else P("dp")
+            for name in MapResult._fields
+        }
+    )
+    return jax.jit(
+        jax.shard_map(
+            inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )

@@ -1,0 +1,35 @@
+"""Device mesh construction.
+
+Reference analog: none — the reference is single-node pthreads
+(ref:src/NGMThreads.cpp); this layer is the new capability the TPU build
+introduces (SURVEY.md §2.3, §5.8).  Meshes:
+
+- 1-D ("dp",): data parallelism over reads — configs 1-3.
+- 2-D ("dp", "ish"): reads sharded over dp, the k-mer index + genome sharded
+  by position range over ish — config 4 (GRCh38 across hosts/chips).
+
+Multi-host: call jax.distributed.initialize() before make_mesh(); jax.devices()
+then spans the slice and the same code paths apply (DCN for cross-host, ICI
+within a slice, handled by XLA's collective lowering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, index_shards: int = 1) -> Mesh:
+    """1-D reads mesh, or 2-D (dp, ish) when index_shards > 1."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    devs = np.asarray(devs[:n])
+    if index_shards <= 1:
+        return Mesh(devs.reshape(n), ("dp",))
+    if n % index_shards:
+        raise ValueError(f"{n} devices not divisible by {index_shards} index shards")
+    return Mesh(devs.reshape(n // index_shards, index_shards), ("dp", "ish"))

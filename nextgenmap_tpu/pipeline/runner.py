@@ -25,14 +25,21 @@ from nextgenmap_tpu.utils.stats import MappingStats
 log = get_logger("ngm-tpu.run")
 
 
-def load_reference(cfg: NgmConfig, ref_path: str) -> tuple[Genome, KmerIndex]:
+def load_reference(cfg: NgmConfig, ref_path: str) -> tuple[Genome, KmerIndex | None]:
     genome = Genome.open(ref_path, skip_save=cfg.skip_save)
-    index = KmerIndex.open(
-        ref_path, genome.codes, genome.sha1(),
-        k=cfg.kmer, skip=cfg.kmer_skip, max_freq=cfg.max_kmer_freq,
-        collapse_ct=cfg.bs_mapping, skip_save=cfg.skip_save,
-    )
-    return genome, index
+    # the k-mer index builds on DEVICE in milliseconds (index/device_build.py),
+    # so unlike the reference there is nothing to memoize on the hot path; a
+    # host-built artifact (ngm-tpu index verb / KmerIndex.open) is still
+    # honored when present
+    cache = KmerIndex.cache_path(ref_path, cfg.kmer, cfg.kmer_skip, cfg.bs_mapping)
+    import os
+
+    if os.path.exists(cache):
+        index = KmerIndex.load(cache)
+        if index.genome_sha1 == genome.sha1():
+            log.info("loaded k-mer index from %s", cache)
+            return genome, index
+    return genome, None
 
 
 def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,
@@ -88,7 +95,7 @@ def run_mapping(
     read_len = cfg.read_len or peek_read_len(first_file)
     log.info("read length (padded): %d", read_len)
 
-    mapper = Mapper(cfg, genome, index, read_len)
+    mapper = Mapper(cfg, genome, read_len, index)
     stats = MappingStats()
     out = open_output(out_path)
     writer = SamWriter(genome, cfg, out, cmdline)

@@ -20,10 +20,11 @@ def make_index(genome):
     return jnp.asarray(off), jnp.asarray(pos)
 
 
-def search(reads, lengths, off, pos, sens=0.5, fanout=16, cmrs=8, binlog=4):
+def search(reads, lengths, off, pos, sens=0.5, fanout=16, cmrs=8, binlog=4,
+           max_freq=10_000):
     km, ok = extract_kmers(jnp.asarray(reads), jnp.asarray(lengths, jnp.int32), K)
     return candidate_search(
-        km, ok, off, pos, jnp.float32(sens),
+        km, ok, off, pos, jnp.float32(sens), jnp.int32(max_freq),
         fanout_cap=fanout, max_cmrs=cmrs, diag_bin_log2=binlog,
     )
 
