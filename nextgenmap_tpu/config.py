@@ -34,6 +34,8 @@ class NgmConfig:
                                   # higher => stricter threshold => fewer candidates (faster)
     max_cmrs: int = 32            # static cap on candidate regions per read/strand (ref --max-cmrs)
     max_kmer_fanout: int = 32     # static cap K on positions gathered per k-mer lookup
+    max_read_hits: int = 256      # static cap H on total index hits compacted
+                                  # per read (both strands); overflow counted
     diag_bin_log2: int = 4        # diagonal bucket width = 2**this (16bp bins)
 
     # --- scoring (ref defaults: match 10, mismatch 15, gaps 20/20/20) ---

@@ -34,9 +34,8 @@ import numpy as np
 from nextgenmap_tpu.config import NgmConfig
 from nextgenmap_tpu.index.genome import Genome
 from nextgenmap_tpu.index.kmer_index import KmerIndex
-from nextgenmap_tpu.ops.candidate import (
-    SENTINEL, candidate_search, merge_strand_candidates,
-)
+from nextgenmap_tpu.ops.candidate import SENTINEL, candidate_search_dual
+from nextgenmap_tpu.ops.gather import gather_windows, pad_table, select_rows
 from nextgenmap_tpu.ops.kmer import extract_kmers
 from nextgenmap_tpu.ops.scoring import score_matrix
 from nextgenmap_tpu.ops.sw_ref import banded_sw_align, banded_sw_score
@@ -73,7 +72,7 @@ def revcomp_batch(codes: jax.Array) -> jax.Array:
 def _candidates_and_scores(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq,
-    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
+    *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
     cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
@@ -100,17 +99,12 @@ def _candidates_and_scores(
     )
     km_r, ok_r = extract_kmers(rc, lengths, k)
 
-    cand_f = candidate_search(
-        km_f, ok_f, offsets, positions, sensitivity, max_freq,
-        fanout_cap=fanout_cap, max_cmrs=max_cmrs, diag_bin_log2=diag_bin_log2,
-        axis_name=cs_axis,
+    cand = candidate_search_dual(
+        km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
+        fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, axis_name=cs_axis,
     )
-    cand_r = candidate_search(
-        km_r, ok_r, offsets, positions, sensitivity, max_freq,
-        fanout_cap=fanout_cap, max_cmrs=max_cmrs, diag_bin_log2=diag_bin_log2,
-        axis_name=cs_axis,
-    )
-    bucket, cs_score, strand = merge_strand_candidates(cand_f, cand_r, C)
+    bucket, cs_score, strand = cand.bucket, cand.score, cand.strand
     cand_valid = cs_score >= max(1, min_kmer_hits)
 
     # deterministic candidate order: (strand asc, corridor start asc)
@@ -127,14 +121,17 @@ def _candidates_and_scores(
     strand = jnp.take_along_axis(strand, order, axis=1)
     cand_valid = jnp.take_along_axis(cand_valid, order, axis=1)
 
-    # corridor gather (ref: SequenceProvider corridor extraction)
-    gidx = corr_start[:, :, None] + jnp.arange(T, dtype=jnp.int32)[None, None, :]
-    corridors = genome[jnp.clip(gidx, 0, G - 1)]          # [B, C, T]
+    # corridor gather (ref: SequenceProvider corridor extraction) — contiguous
+    # window gather (vector loads), not an element-serial [B, C, T] gather
+    genome_pad = pad_table(genome, T, 4)
+    corridors = gather_windows(genome_pad, corr_start, T)  # [B, C, T]
     corridors = jnp.where(cand_valid[:, :, None], corridors, 4)
 
-    # score every candidate (ref: IAlignment::BatchScore)
-    q_by_strand = jnp.stack([reads, rc], axis=1)          # [B, 2, L]
-    qcand = jnp.take_along_axis(q_by_strand, strand[:, :, None], axis=1)
+    # score every candidate (ref: IAlignment::BatchScore); per-candidate
+    # strand select is a VPU where, not a gather
+    qcand = jnp.where(
+        (strand == 0)[:, :, None], reads[:, None, :], rc[:, None, :]
+    )                                                      # [B, C, L]
     flatB = B * C
     sres = banded_sw_score(
         qcand.reshape(flatB, L),
@@ -148,9 +145,11 @@ def _candidates_and_scores(
     sw = jnp.where(cand_valid, sres.score.reshape(B, C), 0)
 
     n_cands = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    # hit_overflow (per-read H cap) is folded into the fan-out audit: both
+    # count index hits dropped by a static cap
     overflow = (
-        cand_f.fanout_overflow + cand_r.fanout_overflow,
-        cand_f.cmr_overflow + cand_r.cmr_overflow,
+        cand.fanout_overflow + cand.hit_overflow,
+        cand.cmr_overflow,
     )
     return sw, corr_start, strand, corridors, qcand, n_cands, overflow
 
@@ -171,8 +170,8 @@ def _finish(
     far = jnp.abs(corr_start - best_start[:, None]) > L
     s2 = jnp.max(jnp.where(far, sw, 0), axis=1)
 
-    best_corr = jnp.take_along_axis(corridors, a1[:, None, None], axis=1)[:, 0]
-    best_query = jnp.take_along_axis(qcand, a1[:, None, None], axis=1)[:, 0]
+    best_corr = select_rows(corridors, a1)
+    best_query = select_rows(qcand, a1)
     ares = banded_sw_align(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
@@ -217,21 +216,25 @@ def _finish(
     )
 
 
-_STATICS = ("k", "fanout_cap", "max_cmrs", "diag_bin_log2", "band", "min_kmer_hits", "cs_axis")
+_STATICS = (
+    "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
+    "min_kmer_hits", "cs_axis",
+)
 
 
 @partial(jax.jit, static_argnames=_STATICS)
 def map_step(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
-    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1, cs_axis=None,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
     sw, corr_start, strand, corridors, qcand, n_cands, overflow = (
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,
             gopen_q, gopen_r, gext, sensitivity, max_freq,
-            k=k, fanout_cap=fanout_cap, max_cmrs=max_cmrs,
+            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             cs_axis=cs_axis,
         )
@@ -250,7 +253,8 @@ def map_step_paired(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff,
-    *, k, fanout_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits=1, cs_axis=None,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -264,7 +268,7 @@ def map_step_paired(
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,
             gopen_q, gopen_r, gext, sensitivity, max_freq,
-            k=k, fanout_cap=fanout_cap, max_cmrs=max_cmrs,
+            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             cs_axis=cs_axis,
         )
@@ -370,7 +374,8 @@ class Mapper:
     def _statics(self):
         cfg = self.cfg
         return dict(
-            k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, max_cmrs=cfg.max_cmrs,
+            k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout,
+            hit_cap=cfg.max_read_hits, max_cmrs=cfg.max_cmrs,
             diag_bin_log2=cfg.diag_bin_log2, band=self.band,
             min_kmer_hits=max(1, cfg.kmer_min),
         )

@@ -1,24 +1,31 @@
-"""Candidate search (CS) — jitted, batched, fixed-shape.
+"""Candidate search (CS) — jitted, batched, fixed-shape, hit-compacted.
 
 Reference analog: the CS task (ref:src/CS.cpp): per read, look every k-mer up
 in the index, bin the returned reference positions by diagonal
 (refPos − readOffset) into a counting hash table ("CSSearchTable"), and keep
 regions whose hit count clears an adaptive threshold relative to the best
-region (scaled by --sensitivity) as Candidate Mapping Regions.
+region (scaled by --sensitivity) as Candidate Mapping Regions.  The reference
+counts BOTH strands in one table and thresholds against the single best
+region; we do the same.
 
-TPU-native design (DESIGN.md rules 1-8): instead of a per-thread hash table
-with staleness tags, the whole batch is processed as dense tensors:
+TPU-native design (DESIGN.md rules 1-8).  The ragged CSR fan-out is the
+enemy: a dense [B, kmers, K] gather wastes >95% of its random HBM traffic
+when the mean CSR row length is <1 (E. coli at k=13: 2.3M positions over 67M
+rows), and XLA lowers big gathers element-serially (~40ns/elem measured on
+v5e).  So hits are COMPACTED first:
 
-  1. CSR gather: positions for every (read, kmer) with a static fan-out cap K.
-  2. Diagonal quantization into buckets of 2^diag_bin_log2 bases.
-  3. Per-read ascending sort of all Q*K buckets (XLA bitonic sort) followed by
-     vectorized run-length counting — this replaces the scatter/hash-probe
-     loop, which would serialize on TPU.
-  4. Pair-merged bucket score (bucket b + bucket b+1) so loci split across a
-     bin boundary still count fully.
-  5. Adaptive threshold max(1, ceil(best * sensitivity)) and stable top-C
-     selection (ties: smaller bucket first, because the array is sorted by
-     bucket and XLA top_k prefers the lowest index).
+  1. Per-kmer CSR row lengths via two offset lookups; per-kmer cap K.
+  2. Exclusive prefix-sum assigns each real hit a slot h < H (static per-read
+     cap).  Slot ownership (which kmer owns slot h) is a dense [B, H, Qt]
+     compare-and-sum — pure VPU work, no gather.
+  3. ONE [B, H] element gather fetches exactly the real positions.
+  4. Diagonal quantization; strand-tagged vote values (strand in a high bit)
+     so one sort + one stable top_k yields the merged candidate list with
+     DESIGN.md rule 6/7 tie-breaking (score DESC, fwd first, bucket ASC).
+  5. DOUBLE-VOTE pair-merge: every hit votes for buckets b and b−1, so the
+     vote count of b equals hits(b) + hits(b+1) with no post-hoc gather.
+  6. Run lengths of the sorted votes via ONE forward cummax, evaluated at run
+     ENDS (reverse/flipped scans compile pathologically on TPU).
 
 Every static cap reports an overflow count so lost candidates are auditable.
 """
@@ -33,12 +40,17 @@ import jax.numpy as jnp
 
 SENTINEL = jnp.int32(2**31 - 1)  # bucket value for invalid hits; sorts last
 
+_BIAS = 1 << 16        # vote bias so negative diagonals stay sortable
+_STRAND_OFF = 1 << 28  # strand tag above any biased bucket
+
 
 class Candidates(NamedTuple):
     bucket: jax.Array          # [B, C] int32 diagonal bucket (SENTINEL = none)
     score: jax.Array           # [B, C] int32 pair-merged hit count (0 = none)
+    strand: jax.Array          # [B, C] int32 0 fwd / 1 rev
     best_score: jax.Array      # [B] int32 best bucket score for the read
-    fanout_overflow: jax.Array  # [] int32 — k-mer lookups truncated by K
+    fanout_overflow: jax.Array  # [] int32 — k-mer rows truncated by K
+    hit_overflow: jax.Array     # [] int32 — reads truncated by the H cap
     cmr_overflow: jax.Array     # [] int32 — reads with > C surviving CMRs
 
 
@@ -46,76 +58,63 @@ def _cummax(x, axis):
     return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
 
 
-def _cummin_rev(x, axis):
-    return jax.lax.associative_scan(jnp.minimum, x, axis=axis, reverse=True)
+def _compact_hits(km, ok, offsets, positions, max_freq, *, fanout_cap, hit_cap):
+    """Compact the ragged CSR fan-out of a kmer batch into [B, H] hit slots.
 
-
-@partial(
-    jax.jit, static_argnames=("fanout_cap", "max_cmrs", "diag_bin_log2", "axis_name")
-)
-def candidate_search(
-    kmers: jax.Array,        # [B, Q] int32 k-mer values
-    kvalid: jax.Array,       # [B, Q] bool
-    offsets: jax.Array,      # [4^k + 1] int32 CSR offsets (device-resident)
-    positions: jax.Array,    # [P] int32 genome positions (device-resident)
-    sensitivity: jax.Array,  # scalar float32
-    max_freq: jax.Array,     # scalar int32: repeat mask applied at lookup time
-                             # (no-op for host-built indexes, which drop
-                             # over-frequent rows at build; required for the
-                             # device-built index, see index/device_build.py)
-    *,
-    fanout_cap: int,
-    max_cmrs: int,
-    diag_bin_log2: int,
-    axis_name: str | None = None,
-) -> Candidates:
-    B, Q = kmers.shape
+    Returns (pos [B, H] genome positions, qid [B, H] owning kmer slot,
+    valid [B, H], fanout_overflow, hit_overflow).
+    """
+    B, Qt = km.shape
     K = fanout_cap
-    C = max_cmrs
+    H = hit_cap
 
-    km = jnp.where(kvalid, kmers, 0)
-    start = offsets[km]                      # [B, Q]
-    cnt = offsets[km + 1] - start            # [B, Q]
+    kmw = jnp.where(ok, km, 0)
+    o0 = offsets[kmw]                        # [B, Qt]
+    o1 = offsets[kmw + 1]
+    cnt = jnp.where(ok, o1 - o0, 0)
     cnt = jnp.where(cnt > max_freq, 0, cnt)  # repeat masking (lookup-time)
-    fanout_overflow = jnp.sum(jnp.where(kvalid, (cnt > K).astype(jnp.int32), 0))
+    fanout_overflow = jnp.sum((cnt > K).astype(jnp.int32))
     cnt_c = jnp.minimum(cnt, K)
 
-    # gather the first K positions of each CSR row (rows are sorted ascending)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Q, K), 2)
-    gidx = start[:, :, None] + lane
-    hit_ok = (lane < cnt_c[:, :, None]) & kvalid[:, :, None]
-    gidx = jnp.where(hit_ok, gidx, 0)
-    pos = positions[gidx]                    # [B, Q, K]
+    cum = jnp.cumsum(cnt_c, axis=1) - cnt_c  # exclusive prefix sum [B, Qt]
+    total = cum[:, -1] + cnt_c[:, -1]        # [B]
+    hit_overflow = jnp.sum((total > H).astype(jnp.int32))
 
-    # diagonal = ref position − read offset of the k-mer (stride handled by
-    # caller passing kmers enumerated at stride 1; see ops/kmer.py)
-    qoff = jax.lax.broadcasted_iota(jnp.int32, (B, Q, K), 1)
-    diag = pos - qoff
-    bucket = jnp.where(hit_ok, diag >> diag_bin_log2, SENTINEL)
+    # slot h belongs to the last kmer q with cum[q] <= h
+    harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    ge = harange[:, :, None] >= cum[:, None, :]          # [B, H, Qt]
+    qid = jnp.sum(ge.astype(jnp.int32), axis=2) - 1      # [B, H]
+    valid = harange < jnp.minimum(total, H)[:, None]
 
-    # per-read ascending sort of all hits' buckets
-    N = Q * K
-    s = jnp.sort(bucket.reshape(B, N), axis=-1)   # [B, N]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, Qt), 2) == qid[:, :, None]
+    )
+    cum_at = jnp.sum(jnp.where(onehot, cum[:, None, :], 0), axis=2)
+    o0_at = jnp.sum(jnp.where(onehot, o0[:, None, :], 0), axis=2)
+    pidx = o0_at + (harange - cum_at)
+    pos = positions[jnp.where(valid, pidx, 0)]           # [B, H] — the ONE gather
+    return pos, qid, valid, fanout_overflow, hit_overflow
 
+
+def _select_candidates(votes, sensitivity, max_cmrs, axis_name):
+    """Sort strand-tagged votes, run-length count, threshold, stable top-C."""
+    B, N = votes.shape
+    C = max_cmrs
+    s = jnp.sort(votes, axis=-1)
     ar = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
     prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), s[:, :-1]], axis=1)
-    nxt = jnp.concatenate([s[:, 1:], jnp.full((B, 1), SENTINEL - 1, jnp.int32)], axis=1)
+    nxt = jnp.concatenate(
+        [s[:, 1:], jnp.full((B, 1), SENTINEL, jnp.int32) - 1], axis=1
+    )
     is_start = s != prev
     is_end = s != nxt
     start_idx = _cummax(jnp.where(is_start, ar, 0), axis=1)
-    end_idx = _cummin_rev(jnp.where(is_end, ar, N - 1), axis=1)
-    count = end_idx - start_idx + 1               # run length at every element
+    # run length at run ENDS: only one FORWARD scan needed; run-end indices
+    # are ascending in vote value so stable top_k still tie-breaks by
+    # (strand asc, bucket asc) per DESIGN.md rules 6/7
+    key = jnp.where(is_end & (s != SENTINEL), ar - start_idx + 1, 0)
 
-    # pair-merge with the next bucket (b+1): its run starts at end_idx + 1
-    nb_idx = jnp.minimum(end_idx + 1, N - 1)
-    nb_bucket = jnp.take_along_axis(s, nb_idx, axis=1)
-    nb_count = jnp.take_along_axis(count, nb_idx, axis=1)
-    merged = count + jnp.where(nb_bucket == s + 1, nb_count, 0)
-
-    # candidate key: merged score at run starts of real buckets, else 0
-    key = jnp.where(is_start & (s != SENTINEL), merged, 0)
-
-    best = jnp.max(key, axis=1)                   # [B]
+    best = jnp.max(key, axis=1)
     # under index sharding the adaptive threshold must be relative to the
     # GLOBAL best bucket score, or shard count changes the candidate set
     # (DESIGN.md rule 15); axis_name names the index-shard mesh axis
@@ -128,26 +127,134 @@ def candidate_search(
     cmr_overflow = jnp.sum((n_cands > C).astype(jnp.int32))
 
     sel_key = jnp.where(eligible, key, 0)
-    top_score, top_idx = jax.lax.top_k(sel_key, C)  # stable: ties → lower index → smaller bucket
-    top_bucket = jnp.take_along_axis(s, top_idx, axis=1)
-    top_bucket = jnp.where(top_score > 0, top_bucket, SENTINEL)
+    top_score, top_idx = jax.lax.top_k(sel_key, C)
+    top_vote = jnp.take_along_axis(s, top_idx, axis=1)   # [B, C] small gather
+    return top_vote, top_score, best, cmr_overflow
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride", "axis_name"
+    ),
+)
+def candidate_search_dual(
+    km_f: jax.Array,         # [B, Q] int32 forward-strand k-mers
+    ok_f: jax.Array,         # [B, Q] bool
+    km_r: jax.Array,         # [B, Q] int32 reverse-complement-strand k-mers
+    ok_r: jax.Array,         # [B, Q] bool
+    offsets: jax.Array,      # [4^k + 1 (+1)] int32 CSR offsets (device)
+    positions: jax.Array,    # [P] int32 genome positions (device)
+    sensitivity: jax.Array,  # scalar float32
+    max_freq: jax.Array,     # scalar int32 repeat mask
+    *,
+    fanout_cap: int,
+    hit_cap: int,
+    max_cmrs: int,
+    diag_bin_log2: int,
+    stride: int = 1,
+    axis_name: str | None = None,
+) -> Candidates:
+    """Both strands in ONE counting pass (like the reference's CS table).
+
+    The adaptive threshold is relative to the best region across both
+    strands; candidate order is score DESC, strand asc (fwd first),
+    bucket asc.
+    """
+    B, Q = km_f.shape
+    km = jnp.concatenate([km_f, km_r], axis=1)           # [B, 2Q]
+    ok = jnp.concatenate([ok_f, ok_r], axis=1)
+
+    pos, qid, valid, fo, ho = _compact_hits(
+        km, ok, offsets, positions, max_freq,
+        fanout_cap=fanout_cap, hit_cap=hit_cap,
+    )
+    strand = (qid >= Q).astype(jnp.int32)                # [B, H]
+    qoff = jnp.where(strand == 1, qid - Q, qid) * stride
+    diag = pos - qoff
+    bucket = diag >> diag_bin_log2
+    vote = strand * _STRAND_OFF + bucket + _BIAS
+    vote = jnp.where(valid, vote, SENTINEL)
+
+    # double-vote: a hit in bucket b votes for b AND b−1, so that the vote
+    # count of b is hits(b) + hits(b+1) — the adjacent-bin pair merge
+    vote_lo = jnp.where(valid, vote - 1, SENTINEL)
+    votes = jnp.concatenate([vote, vote_lo], axis=1)     # [B, 2H]
+
+    top_vote, top_score, best, co = _select_candidates(
+        votes, sensitivity, max_cmrs, axis_name
+    )
+    got = top_score > 0
+    top_strand = jnp.where(got, top_vote // _STRAND_OFF, 0)
+    top_bucket = jnp.where(
+        got, top_vote - top_strand * _STRAND_OFF - _BIAS, SENTINEL
+    )
     return Candidates(
         bucket=top_bucket,
         score=top_score,
+        strand=top_strand,
         best_score=best,
-        fanout_overflow=fanout_overflow,
-        cmr_overflow=cmr_overflow,
+        fanout_overflow=fo,
+        hit_overflow=ho,
+        cmr_overflow=co,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride", "axis_name"
+    ),
+)
+def candidate_search(
+    kmers: jax.Array,
+    kvalid: jax.Array,
+    offsets: jax.Array,
+    positions: jax.Array,
+    sensitivity: jax.Array,
+    max_freq: jax.Array,
+    *,
+    fanout_cap: int,
+    hit_cap: int = 0,
+    max_cmrs: int,
+    diag_bin_log2: int,
+    stride: int = 1,
+    axis_name: str | None = None,
+) -> Candidates:
+    """Single-strand candidate search (unit-test surface; mapper uses dual)."""
+    B, Q = kmers.shape
+    H = hit_cap or 2 * Q
+    pos, qid, valid, fo, ho = _compact_hits(
+        kmers, kvalid, offsets, positions, max_freq,
+        fanout_cap=fanout_cap, hit_cap=H,
+    )
+    diag = pos - qid * stride
+    bucket = diag >> diag_bin_log2
+    vote = jnp.where(valid, bucket + _BIAS, SENTINEL)
+    vote_lo = jnp.where(valid, vote - 1, SENTINEL)
+    votes = jnp.concatenate([vote, vote_lo], axis=1)
+
+    top_vote, top_score, best, co = _select_candidates(
+        votes, sensitivity, max_cmrs, axis_name
+    )
+    got = top_score > 0
+    top_bucket = jnp.where(got, top_vote - _BIAS, SENTINEL)
+    return Candidates(
+        bucket=top_bucket,
+        score=top_score,
+        strand=jnp.zeros_like(top_bucket),
+        best_score=best,
+        fanout_overflow=fo,
+        hit_overflow=ho,
+        cmr_overflow=co,
     )
 
 
 def merge_strand_candidates(fwd: Candidates, rev: Candidates, max_cmrs: int):
-    """Merge forward/reverse candidate lists under DESIGN.md rule 7.
+    """Merge two single-strand candidate lists under DESIGN.md rule 7.
 
-    Returns (bucket [B, C], score [B, C], strand [B, C] int32 0/1).
-    Concatenation order [fwd, rev] + stable top_k gives: score DESC, then
-    forward strand first, then smaller bucket (each input list is already
-    score-DESC / bucket-ASC).
+    Kept for unit tests and API parity; the mapper uses
+    candidate_search_dual, which applies the same ordering in one pass.
     """
     C = max_cmrs
     bucket = jnp.concatenate([fwd.bucket, rev.bucket], axis=1)
