@@ -34,8 +34,8 @@ import numpy as np
 from nextgenmap_tpu.config import NgmConfig
 from nextgenmap_tpu.index.genome import Genome
 from nextgenmap_tpu.index.kmer_index import KmerIndex
-from nextgenmap_tpu.ops.candidate import SENTINEL, candidate_search_dual
-from nextgenmap_tpu.ops.gather import gather_windows, pad_table, select_rows
+from nextgenmap_tpu.ops.candidate import candidate_search_dual
+from nextgenmap_tpu.ops.gather import gather_windows, pad_table
 from nextgenmap_tpu.ops.kmer import extract_kmers
 from nextgenmap_tpu.ops.scoring import score_matrix
 from nextgenmap_tpu.ops.sw_ref import banded_sw_align, banded_sw_score
@@ -73,13 +73,18 @@ def _candidates_and_scores(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
-    cs_axis=None,
+    slot_cap, cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
-    Returns candidate arrays REORDERED by (strand asc, corridor start asc) so
-    later argmax/top_k selections tie-break per DESIGN.md rule 11, plus the
-    ordered corridors/queries needed for traceback.
+    Candidate arrays are REORDERED by (strand asc, corridor start asc) so
+    later argmax/top_k selections tie-break per DESIGN.md rule 11.  Valid
+    candidates form a per-read PREFIX after that ordering, which lets the
+    (read, candidate) pairs be COMPACTED batch-wide into `slot_cap` flat
+    slots before the expensive per-candidate work: corridor window-gathers
+    and banded-SW scoring run once per REAL candidate (~2/read) instead of
+    once per [B, C] cell — on TPU the window gather costs ~1µs per window
+    regardless of width, so slots are the unit to minimize.
     """
     B, L = reads.shape
     W = band
@@ -121,47 +126,79 @@ def _candidates_and_scores(
     strand = jnp.take_along_axis(strand, order, axis=1)
     cand_valid = jnp.take_along_axis(cand_valid, order, axis=1)
 
-    # corridor gather (ref: SequenceProvider corridor extraction) — contiguous
-    # window gather (vector loads), not an element-serial [B, C, T] gather
-    genome_pad = pad_table(genome, T, 4)
-    corridors = gather_windows(genome_pad, corr_start, T)  # [B, C, T]
-    corridors = jnp.where(cand_valid[:, :, None], corridors, 4)
+    # ---- batch-wide candidate compaction (DESIGN.md rule 8b) ----
+    # valid candidates are a per-read prefix; assign each a flat slot
+    n_cands = jnp.sum(cand_valid.astype(jnp.int32), axis=1)   # [B]
+    base = jnp.cumsum(n_cands) - n_cands                      # exclusive [B]
+    total = base[-1] + n_cands[-1]
+    S = slot_cap
+    slot_overflow = (total > S).astype(jnp.int32)
 
-    # score every candidate (ref: IAlignment::BatchScore); per-candidate
-    # strand select is a VPU where, not a gather
-    qcand = jnp.where(
-        (strand == 0)[:, :, None], reads[:, None, :], rc[:, None, :]
-    )                                                      # [B, C, L]
-    flatB = B * C
+    # slot s belongs to the last read b with base[b] <= s
+    sar = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+    ge = sar[:, None] >= base[None, :]                        # [S, B]
+    b_of = jnp.sum(ge.astype(jnp.int32), axis=1) - 1          # [S]
+    slot_valid = sar < jnp.minimum(total, S)
+    onehot_b = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1) == b_of[:, None]
+    base_at = jnp.sum(jnp.where(onehot_b, base[None, :], 0), axis=1)
+    j_of = sar - base_at                                      # candidate index
+    flat_idx = jnp.where(slot_valid, b_of * C + j_of, 0)
+
+    corr_start_s = corr_start.reshape(-1)[flat_idx]           # [S] small gathers
+    strand_s = strand.reshape(-1)[flat_idx]
+    len_s = lengths[jnp.where(slot_valid, b_of, 0)]
+
+    # corridor gather (ref: SequenceProvider corridor extraction) — one
+    # contiguous window per REAL candidate
+    genome_pad = pad_table(genome, T, 4)
+    corr_s = gather_windows(
+        genome_pad, jnp.where(slot_valid, corr_start_s, 0), T
+    )                                                         # [S, T]
+    corr_s = jnp.where(slot_valid[:, None], corr_s, 4)
+
+    # query row per slot: fwd reads and rc reads concatenated row-major, so a
+    # slot's query is one contiguous window at ((strand*B + b) * L)
+    q2 = jnp.concatenate([reads, rc], axis=0).reshape(-1)     # [2*B*L]
+    qstart = (strand_s * B + jnp.where(slot_valid, b_of, 0)) * L
+    q_s = gather_windows(q2, qstart, L)                       # [S, L]
+
+    # score every real candidate (ref: IAlignment::BatchScore)
     sres = banded_sw_score(
-        qcand.reshape(flatB, L),
-        jnp.repeat(lengths, C),
-        corridors.reshape(flatB, T),
-        matrices,
-        gopen_q, gopen_r, gext,
-        strand.reshape(flatB),
+        q_s, len_s, corr_s, matrices,
+        gopen_q, gopen_r, gext, strand_s,
         band=W,
     )
-    sw = jnp.where(cand_valid, sres.score.reshape(B, C), 0)
+    score_s = jnp.where(slot_valid, sres.score, 0)
 
-    n_cands = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
-    # hit_overflow (per-read H cap) is folded into the fan-out audit: both
-    # count index hits dropped by a static cap
+    # scatter scores back to the dense [B, C] candidate grid for selection
+    sw = (
+        jnp.zeros((B * C + 1,), jnp.int32)
+        .at[jnp.where(slot_valid, flat_idx, B * C)]
+        .set(score_s)[: B * C]
+        .reshape(B, C)
+    )
+    sw = jnp.where(cand_valid, sw, 0)
+
+    # hit_overflow (per-read H cap) and slot_overflow (batch slot cap) are
+    # folded into the audit counters
     overflow = (
         cand.fanout_overflow + cand.hit_overflow,
-        cand.cmr_overflow,
+        cand.cmr_overflow + slot_overflow,
     )
-    return sw, corr_start, strand, corridors, qcand, n_cands, overflow
+    slots = (corr_s, q_s, base)
+    return sw, corr_start, strand, slots, n_cands, overflow
 
 
 def _finish(
-    a1, sw, corr_start, strand, corridors, qcand, lengths, matrices,
+    a1, sw, corr_start, strand, slots, lengths, matrices,
     gopen_q, gopen_r, gext, min_identity, min_residues,
     n_cands, overflow, proper, *, band,
 ):
     """Traceback the chosen candidate a1 [B] and apply filters + MAPQ."""
     B, C = sw.shape
-    L = qcand.shape[2]
+    corr_s, q_s, base = slots
+    S, T = corr_s.shape
+    L = q_s.shape[1]
 
     s1 = jnp.take_along_axis(sw, a1[:, None], axis=1)[:, 0]
     best_start = jnp.take_along_axis(corr_start, a1[:, None], axis=1)[:, 0]
@@ -170,8 +207,12 @@ def _finish(
     far = jnp.abs(corr_start - best_start[:, None]) > L
     s2 = jnp.max(jnp.where(far, sw, 0), axis=1)
 
-    best_corr = select_rows(corridors, a1)
-    best_query = select_rows(qcand, a1)
+    # winner rows live in the compacted slot arrays at base[b] + a1[b]
+    # (a read with zero candidates points at a junk slot — its s1 is 0, so
+    # every derived field is gated by `mapped`)
+    win_slot = jnp.clip(base + a1, 0, S - 1)
+    best_corr = gather_windows(corr_s.reshape(-1), win_slot * T, T)
+    best_query = gather_windows(q_s.reshape(-1), win_slot * L, L)
     ares = banded_sw_align(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
@@ -218,7 +259,7 @@ def _finish(
 
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
-    "min_kmer_hits", "cs_axis",
+    "min_kmer_hits", "slot_cap", "cs_axis",
 )
 
 
@@ -227,22 +268,23 @@ def map_step(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
-    sw, corr_start, strand, corridors, qcand, n_cands, overflow = (
+    slot_cap = slot_cap or 4 * reads.shape[0]
+    sw, corr_start, strand, slots, n_cands, overflow = (
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            cs_axis=cs_axis,
+            slot_cap=slot_cap, cs_axis=cs_axis,
         )
     )
     a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
     proper = jnp.zeros(sw.shape[0], dtype=bool)
     return _finish(
-        a1, sw, corr_start, strand, corridors, qcand, lengths, matrices,
+        a1, sw, corr_start, strand, slots, lengths, matrices,
         gopen_q, gopen_r, gext, min_identity, min_residues,
         n_cands, overflow, proper, band=band,
     )
@@ -254,7 +296,7 @@ def map_step_paired(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -264,17 +306,18 @@ def map_step_paired(
     traceback).  Falls back to best singletons when no pair clears
     pair_cutoff * (best1 + best2) — the "broken pair" path.
     """
-    sw, corr_start, strand, corridors, qcand, n_cands, overflow = (
+    slot_cap = slot_cap or 4 * reads.shape[0]
+    sw, corr_start, strand, slots, n_cands, overflow = (
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            cs_axis=cs_axis,
+            slot_cap=slot_cap, cs_axis=cs_axis,
         )
     )
     B, C = sw.shape
-    L = qcand.shape[2]
+    L = slots[1].shape[1]
     P = B // 2
     bin_w = 1 << diag_bin_log2
 
@@ -320,7 +363,7 @@ def map_step_paired(
     proper = jnp.repeat(proper_pair, 2)
 
     return _finish(
-        a1, sw, corr_start, strand, corridors, qcand, lengths, matrices,
+        a1, sw, corr_start, strand, slots, lengths, matrices,
         gopen_q, gopen_r, gext, min_identity, min_residues,
         n_cands, overflow, proper, band=band,
     )
