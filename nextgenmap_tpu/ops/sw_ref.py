@@ -47,7 +47,9 @@ OP_M, OP_I, OP_D = 0, 1, 2
 OP_NONE = 255
 
 # dir byte layout: bits 0-1 H-source (0 stop, 1 diag, 2 E/up, 3 F/left),
-# bit 2: E extends (vs opens), bit 3: F extends (vs opens)
+# bit 2: E extends (vs opens), bit 3: F extends (vs opens),
+# bit 4: exact base match at this cell (lets the backwalk skip re-reading
+# query/ref — every per-step gather in the walk is a TPU serialization point)
 
 
 class ScoreResult(NamedTuple):
@@ -114,7 +116,7 @@ def _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext):
     return h, e, hd, f, e_ext, e_open
 
 
-def _dirs(h, hd, e, f, e_ext_term, e_open_term, f_prev_ext, f_prev_open):
+def _dirs(h, hd, e, f, e_ext_term, e_open_term, f_prev_ext, f_prev_open, mbit):
     """Pack the direction byte per cell (tie-breaks per DESIGN.md rule 10)."""
     d = jnp.where(
         h <= 0, 0,
@@ -122,7 +124,8 @@ def _dirs(h, hd, e, f, e_ext_term, e_open_term, f_prev_ext, f_prev_open):
     ).astype(jnp.uint8)
     e_bit = (e_ext_term > e_open_term).astype(jnp.uint8) << 2
     f_bit = (f_prev_ext > f_prev_open).astype(jnp.uint8) << 3
-    return d | e_bit | f_bit
+    m_bit = mbit.astype(jnp.uint8) << 4
+    return d | e_bit | f_bit | m_bit
 
 
 @partial(jax.jit, static_argnames=("band",))
@@ -226,7 +229,8 @@ def banded_sw_align(
         # prefer open on tie)
         f_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), f[:, :-1]], axis=1)
         htmp_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), htmp[:, :-1]], axis=1)
-        dirs = _dirs(h, hd, e, f, e_ext, e_open, f_left - gext, htmp_left - gopen_r)
+        mbit = (qi[:, None] == rw) & (qi[:, None] < 4)
+        dirs = _dirs(h, hd, e, f, e_ext, e_open, f_left - gext, htmp_left - gopen_r, mbit)
         valid = (i < qlen)[:, None]
         h_m = jnp.where(valid, h, 0)
         rowmax = jnp.max(h_m, axis=1)
@@ -242,83 +246,76 @@ def banded_sw_align(
     init = (h0, e0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
     (_, _, best, bi, bo), dirs = jax.lax.scan(body, init, jnp.arange(L, dtype=jnp.int32))
     dirs = jnp.transpose(dirs, (1, 0, 2))  # [B, L, W]
-    dflat = dirs.reshape(B, L * W)
+    dflat = dirs.reshape(B, L * W).astype(jnp.int32)
 
-    # ---- vectorized backwalk ----
+    # ---- vectorized backwalk (fixed-length scan, no per-step gathers) ----
+    # Every active step emits exactly one op: an H-cell whose source is E/F
+    # emits the first gap op immediately and continues in the gap phase iff
+    # the cell's extend bit is set (collapsing the old transition steps).
+    # The direction byte is fetched with a dense masked sum over [B, L*W]
+    # (VPU work) instead of a [B]-element gather per step — element gathers
+    # inside device loops are the single worst TPU serialization pattern.
     PH_H, PH_E, PH_F = 0, 1, 2
-    barange = jnp.arange(B)
+    LW = L * W
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, LW), 1)
 
-    def cond(st):
-        return jnp.any(st["active"])
-
-    def step(st):
+    def step(st, _):
         i, o, ph = st["i"], st["o"], st["ph"]
         inb = (i >= 0) & (i < L) & (o >= 0) & (o < W)
-        d = jnp.where(inb, dflat[barange, jnp.clip(i, 0, L - 1) * W + jnp.clip(o, 0, W - 1)], 0)
+        idx = jnp.clip(i * W + o, 0, LW - 1)
+        d = jnp.sum(jnp.where((col == idx[:, None]) & inb[:, None], dflat, 0), axis=1)
         hsrc = d & 3
         active = st["active"] & inb & ((ph != PH_H) | (hsrc != 0))
 
-        qb = q[barange, jnp.clip(i, 0, L - 1)]
-        rb = r[barange, jnp.clip(i + o, 0, L + W - 1)]
+        is_m = active & (ph == PH_H) & (hsrc == 1)
+        is_i = active & ((ph == PH_E) | ((ph == PH_H) & (hsrc == 2)))
+        is_d = active & ((ph == PH_F) | ((ph == PH_H) & (hsrc == 3)))
 
-        # H phase with hsrc==1: diag step (emit M, i-1)
-        is_diag = active & (ph == PH_H) & (hsrc == 1)
-        # H phase entering E/F: switch phase, no emission this step
-        to_e = active & (ph == PH_H) & (hsrc == 2)
-        to_f = active & (ph == PH_H) & (hsrc == 3)
-        # E phase: emit I, move (i-1, o+1), stay E iff ext bit
-        in_e = active & (ph == PH_E)
-        # F phase: emit D, move (i, o-1), stay F iff ext bit
-        in_f = active & (ph == PH_F)
+        op = jnp.where(
+            is_m, OP_M, jnp.where(is_i, OP_I, jnp.where(is_d, OP_D, OP_NONE))
+        ).astype(jnp.uint8)
 
-        emit = is_diag | in_e | in_f
-        op = jnp.where(is_diag, OP_M, jnp.where(in_e, OP_I, OP_D)).astype(jnp.uint8)
-        nops = st["nops"]
-        ops = st["ops"].at[barange, jnp.clip(nops, 0, MO - 1)].set(
-            jnp.where(emit, op, st["ops"][barange, jnp.clip(nops, 0, MO - 1)])
-        )
-        nops = jnp.where(emit, nops + 1, nops)
-
-        m_hit = is_diag & (qb == rb) & (qb < 4)
+        m_hit = is_m & ((d >> 4) & 1 == 1)
         matches = st["matches"] + m_hit.astype(jnp.int32)
-        mismatches = st["mismatches"] + (is_diag & ~m_hit).astype(jnp.int32)
-        indels = st["indels"] + (in_e | in_f).astype(jnp.int32)
+        mismatches = st["mismatches"] + (is_m & ~m_hit).astype(jnp.int32)
+        indels = st["indels"] + (is_i | is_d).astype(jnp.int32)
 
-        ni = jnp.where(is_diag | in_e, i - 1, i)
-        no = jnp.where(in_e, o + 1, jnp.where(in_f, o - 1, o))
+        ni = jnp.where(is_m | is_i, i - 1, i)
+        no = jnp.where(is_i, o + 1, jnp.where(is_d, o - 1, o))
         e_bit = (d >> 2) & 1
         f_bit = (d >> 3) & 1
         nph = jnp.where(
-            to_e, PH_E,
-            jnp.where(to_f, PH_F,
-                      jnp.where(in_e, jnp.where(e_bit == 1, PH_E, PH_H),
-                                jnp.where(in_f, jnp.where(f_bit == 1, PH_F, PH_H), ph))),
+            is_m, PH_H,
+            jnp.where(is_i, jnp.where(e_bit == 1, PH_E, PH_H),
+                      jnp.where(is_d, jnp.where(f_bit == 1, PH_F, PH_H), ph)),
         )
         # record the last consumed cell to derive start coordinates
-        qs = jnp.where(is_diag | in_e, i, st["qs"])
-        rs = jnp.where(is_diag | in_f, i + o, st["rs"])
-        return {
+        qs = jnp.where(is_m | is_i, i, st["qs"])
+        rs = jnp.where(is_m | is_d, i + o, st["rs"])
+        nst = {
             "i": jnp.where(active, ni, i), "o": jnp.where(active, no, o),
             "ph": jnp.where(active, nph, ph), "active": active,
-            "ops": ops, "nops": nops, "matches": matches,
-            "mismatches": mismatches, "indels": indels, "qs": qs, "rs": rs,
+            "nops": st["nops"] + active.astype(jnp.int32),
+            "matches": matches, "mismatches": mismatches, "indels": indels,
+            "qs": qs, "rs": rs,
         }
+        return nst, op
 
     st0 = {
         "i": bi, "o": bo, "ph": jnp.zeros(B, jnp.int32),
         "active": best > 0,
-        "ops": jnp.full((B, MO), OP_NONE, jnp.uint8),
         "nops": jnp.zeros(B, jnp.int32),
         "matches": jnp.zeros(B, jnp.int32),
         "mismatches": jnp.zeros(B, jnp.int32),
         "indels": jnp.zeros(B, jnp.int32),
         "qs": bi, "rs": bi + bo,
     }
-    st = jax.lax.while_loop(cond, step, st0)
+    st, ops_steps = jax.lax.scan(step, st0, None, length=MO)
+    ops = jnp.transpose(ops_steps, (1, 0))  # [B, MO], END->START, no holes
     return AlignResult(
         score=best,
         q_start=st["qs"], q_end=bi,
         r_start=st["rs"], r_end=bi + bo,
-        ops=st["ops"], n_ops=st["nops"],
+        ops=ops, n_ops=st["nops"],
         matches=st["matches"], mismatches=st["mismatches"], indels=st["indels"],
     )
