@@ -64,8 +64,9 @@ def main() -> None:
     mats = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
     band = cfg.corridor_for(READ_LEN)
     statics = dict(
-        k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, max_cmrs=cfg.max_cmrs,
-        diag_bin_log2=cfg.diag_bin_log2, band=band, min_kmer_hits=1,
+        k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, hit_cap=cfg.max_read_hits,
+        max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
+        min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
     )
 
     mats_d = jnp.asarray(mats)

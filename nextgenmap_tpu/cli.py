@@ -19,6 +19,8 @@ log = get_logger("ngm-tpu.cli")
 def build_parser():
     import argparse
 
+    D = NgmConfig()  # single source of truth for every default
+
     p = argparse.ArgumentParser(
         prog="ngm-tpu",
         description="TPU-native short-read mapper (NextGenMap capabilities)",
@@ -46,40 +48,46 @@ def build_parser():
         g.add_argument("--skip-save", action="store_true")
 
         g = sp.add_argument_group("index")
-        g.add_argument("-k", "--kmer", type=int, default=13)
-        g.add_argument("--kmer-skip", type=int, default=2)
-        g.add_argument("--kmer-min", type=int, default=0)
-        g.add_argument("--max-freq", type=int, default=1000)
-        g.add_argument("--max-cmrs", type=int, default=32)
+        g.add_argument("-k", "--kmer", type=int, default=D.kmer)
+        g.add_argument("--kmer-skip", type=int, default=D.kmer_skip)
+        g.add_argument("--read-kmer-skip", type=int, default=None,
+                       help="read-side k-mer stride (default: config; drops "
+                            "to 1 automatically when --kmer-skip > 1)")
+        g.add_argument("--kmer-min", type=int, default=D.kmer_min)
+        g.add_argument("--max-freq", type=int, default=D.max_kmer_freq)
+        g.add_argument("--max-cmrs", type=int, default=D.max_cmrs)
+        g.add_argument("--max-read-hits", type=int, default=D.max_read_hits)
 
         g = sp.add_argument_group("sensitivity/filters")
-        g.add_argument("-s", "--sensitivity", type=float, default=0.5)
-        g.add_argument("-i", "--min-identity", type=float, default=0.65)
-        g.add_argument("-R", "--min-residues", type=float, default=0.5)
-        g.add_argument("-n", "--topn", type=int, default=1)
+        g.add_argument("-s", "--sensitivity", type=float, default=D.sensitivity)
+        g.add_argument("-i", "--min-identity", type=float, default=D.min_identity)
+        g.add_argument("-R", "--min-residues", type=float, default=D.min_residues)
+        g.add_argument("-n", "--topn", type=int, default=D.topn)
         g.add_argument("--strata", action="store_true")
 
         g = sp.add_argument_group("scoring")
-        g.add_argument("--match-bonus", type=int, default=10)
-        g.add_argument("--mismatch-penalty", type=int, default=15)
-        g.add_argument("--gap-read-penalty", type=int, default=20)
-        g.add_argument("--gap-ref-penalty", type=int, default=20)
-        g.add_argument("--gap-extend-penalty", type=int, default=20)
+        g.add_argument("--match-bonus", type=int, default=D.match_bonus)
+        g.add_argument("--mismatch-penalty", type=int, default=D.mismatch_penalty)
+        g.add_argument("--gap-read-penalty", type=int, default=D.gap_read_penalty)
+        g.add_argument("--gap-ref-penalty", type=int, default=D.gap_ref_penalty)
+        g.add_argument("--gap-extend-penalty", type=int,
+                       default=D.gap_extend_penalty)
         g.add_argument("--affine", action="store_true")
 
         g = sp.add_argument_group("paired-end")
-        g.add_argument("-I", "--min-insert-size", type=int, default=0)
-        g.add_argument("-X", "--max-insert-size", type=int, default=1000)
-        g.add_argument("--pair-score-cutoff", type=float, default=0.9)
+        g.add_argument("-I", "--min-insert-size", type=int, default=D.min_insert_size)
+        g.add_argument("-X", "--max-insert-size", type=int, default=D.max_insert_size)
+        g.add_argument("--pair-score-cutoff", type=float,
+                       default=D.pair_score_cutoff)
 
         g = sp.add_argument_group("modes")
         g.add_argument("--bs-mapping", action="store_true")
-        g.add_argument("--bs-cutoff", type=int, default=6)
+        g.add_argument("--bs-cutoff", type=int, default=D.bs_cutoff)
         g.add_argument("--slam-seq", type=int, default=0, choices=[0, 1, 2])
 
         g = sp.add_argument_group("runtime")
-        g.add_argument("-t", "--threads", type=int, default=1)
-        g.add_argument("--batch-size", type=int, default=2048)
+        g.add_argument("-t", "--threads", type=int, default=D.threads)
+        g.add_argument("--batch-size", type=int, default=D.batch_size)
         g.add_argument("--read-len", type=int, default=0,
                        help="static padded read length (0 = infer)")
         g.add_argument("--corridor", type=int, default=0)
@@ -89,17 +97,24 @@ def build_parser():
     add_common(map_p)
     idx_p = sub.add_parser("index", help="build (and memoize) the index only")
     idx_p.add_argument("-r", "--reference", required=True)
-    idx_p.add_argument("-k", "--kmer", type=int, default=13)
-    idx_p.add_argument("--kmer-skip", type=int, default=2)
-    idx_p.add_argument("--max-freq", type=int, default=1000)
+    idx_p.add_argument("-k", "--kmer", type=int, default=D.kmer)
+    idx_p.add_argument("--kmer-skip", type=int, default=D.kmer_skip)
+    idx_p.add_argument("--max-freq", type=int, default=D.max_kmer_freq)
     idx_p.add_argument("--bs-mapping", action="store_true")
     return p, map_p
 
 
 def config_from_args(a) -> NgmConfig:
+    rks = a.read_kmer_skip
+    if rks is None:
+        # reference-style genome striding (--kmer-skip > 1) implies stride-1
+        # read enumeration; otherwise use the TPU-first read-side default
+        rks = 1 if a.kmer_skip > 1 else NgmConfig().read_kmer_skip
     return NgmConfig(
-        kmer=a.kmer, kmer_skip=a.kmer_skip, kmer_min=a.kmer_min,
+        kmer=a.kmer, kmer_skip=a.kmer_skip, read_kmer_skip=rks,
+        kmer_min=a.kmer_min,
         max_kmer_freq=a.max_freq, max_cmrs=a.max_cmrs,
+        max_read_hits=a.max_read_hits,
         sensitivity=a.sensitivity, min_identity=a.min_identity,
         min_residues=a.min_residues, topn=a.topn, strata=a.strata,
         match_bonus=a.match_bonus, mismatch_penalty=a.mismatch_penalty,

@@ -22,10 +22,14 @@ def _round_up(x: int, m: int) -> int:
 class NgmConfig:
     # --- index (ref flags: -k/--kmer, --kmer-skip, --max-freq analog) ---
     kmer: int = 13                # k in [10, 14], reference default 13
-    kmer_skip: int = 2            # stride between indexed k-mers (ref --kmer-skip)
-    read_kmer_skip: int = 1       # stride of k-mer enumeration on the READ side;
-                                  # must stay 1 unless kmer_skip is 1 too, else
-                                  # stride phases can miss an indexed locus entirely
+    kmer_skip: int = 1            # stride between indexed k-mers (ref --kmer-skip).
+                                  # The reference defaults to 2 to halve index RAM;
+                                  # on TPU the cost is per-READ lookups, so the
+                                  # default strides the read side instead — same
+                                  # hits per locus, half the index traffic.
+    read_kmer_skip: int = 2       # stride of k-mer enumeration on the READ side;
+                                  # kmer_skip and read_kmer_skip must not both
+                                  # exceed 1, else stride phases can miss a locus
     max_kmer_freq: int = 1000     # repeat masking: k-mers occurring more often are dropped
     kmer_min: int = 0             # minimum k-mer hits to consider a read mappable
 
@@ -112,8 +116,13 @@ class NgmConfig:
     def validate(self) -> None:
         if not (10 <= self.kmer <= 14):
             raise ValueError(f"kmer must be in [10,14], got {self.kmer}")
-        if self.kmer_skip < 1:
-            raise ValueError("kmer_skip must be >= 1")
+        if self.kmer_skip < 1 or self.read_kmer_skip < 1:
+            raise ValueError("kmer strides must be >= 1")
+        if self.kmer_skip > 1 and self.read_kmer_skip > 1:
+            raise ValueError(
+                "kmer_skip and read_kmer_skip cannot both exceed 1 "
+                "(stride phases could miss a locus entirely)"
+            )
         if not (0.0 <= self.sensitivity <= 1.0):
             raise ValueError("sensitivity must be in [0,1]")
         if self.max_insert_size < self.min_insert_size:

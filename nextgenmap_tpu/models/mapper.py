@@ -73,7 +73,7 @@ def _candidates_and_scores(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
-    slot_cap, cs_axis=None,
+    slot_cap, read_stride=1, cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
@@ -94,7 +94,7 @@ def _candidates_and_scores(
     bin_w = 1 << diag_bin_log2
 
     rc = revcomp_batch(reads)
-    km_f, ok_f = extract_kmers(reads, lengths, k)
+    km_f, ok_f = extract_kmers(reads, lengths, k, stride=read_stride)
     # the rc flip moves right-padding to the front for reads shorter than L;
     # shift each rc row left by (L - length) so rc reads start at column 0
     shift = (L - lengths)[:, None]
@@ -102,12 +102,12 @@ def _candidates_and_scores(
     rc = jnp.take_along_axis(
         jnp.pad(rc, ((0, 0), (0, L)), constant_values=4), idx, axis=1
     )
-    km_r, ok_r = extract_kmers(rc, lengths, k)
+    km_r, ok_r = extract_kmers(rc, lengths, k, stride=read_stride)
 
     cand = candidate_search_dual(
         km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
         fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-        diag_bin_log2=diag_bin_log2, axis_name=cs_axis,
+        diag_bin_log2=diag_bin_log2, stride=read_stride, axis_name=cs_axis,
     )
     bucket, cs_score, strand = cand.bucket, cand.score, cand.strand
     cand_valid = cs_score >= max(1, min_kmer_hits)
@@ -259,7 +259,7 @@ def _finish(
 
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
-    "min_kmer_hits", "slot_cap", "cs_axis",
+    "min_kmer_hits", "slot_cap", "read_stride", "cs_axis",
 )
 
 
@@ -268,7 +268,7 @@ def map_step(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
     slot_cap = slot_cap or 4 * reads.shape[0]
@@ -278,7 +278,7 @@ def map_step(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, cs_axis=cs_axis,
+            slot_cap=slot_cap, read_stride=read_stride, cs_axis=cs_axis,
         )
     )
     a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
@@ -296,7 +296,7 @@ def map_step_paired(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -313,7 +313,7 @@ def map_step_paired(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, cs_axis=cs_axis,
+            slot_cap=slot_cap, read_stride=read_stride, cs_axis=cs_axis,
         )
     )
     B, C = sw.shape
@@ -421,6 +421,7 @@ class Mapper:
             hit_cap=cfg.max_read_hits, max_cmrs=cfg.max_cmrs,
             diag_bin_log2=cfg.diag_bin_log2, band=self.band,
             min_kmer_hits=max(1, cfg.kmer_min),
+            read_stride=cfg.read_kmer_skip,
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
