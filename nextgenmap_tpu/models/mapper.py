@@ -36,6 +36,14 @@ from nextgenmap_tpu.index.genome import Genome
 from nextgenmap_tpu.index.kmer_index import KmerIndex
 from nextgenmap_tpu.ops.candidate import candidate_search_dual
 from nextgenmap_tpu.ops.gather import gather_windows, pad_table
+from nextgenmap_tpu.ops.gather_pallas import (
+    MAX_WINDOW, as_dma_table, dma_gather_windows,
+)
+
+
+def _use_dma(*sizes) -> bool:
+    """DMA window gather on TPU when every window fits the kernel's span."""
+    return jax.default_backend() == "tpu" and all(s <= MAX_WINDOW for s in sizes)
 from nextgenmap_tpu.ops.kmer import extract_kmers
 from nextgenmap_tpu.ops.scoring import score_matrix
 from nextgenmap_tpu.ops.sw_ref import banded_sw_align, banded_sw_score
@@ -149,18 +157,20 @@ def _candidates_and_scores(
     len_s = lengths[jnp.where(slot_valid, b_of, 0)]
 
     # corridor gather (ref: SequenceProvider corridor extraction) — one
-    # contiguous window per REAL candidate
-    genome_pad = pad_table(genome, T, 4)
-    corr_s = gather_windows(
-        genome_pad, jnp.where(slot_valid, corr_start_s, 0), T
-    )                                                         # [S, T]
-    corr_s = jnp.where(slot_valid[:, None], corr_s, 4)
-
-    # query row per slot: fwd reads and rc reads concatenated row-major, so a
-    # slot's query is one contiguous window at ((strand*B + b) * L)
-    q2 = jnp.concatenate([reads, rc], axis=0).reshape(-1)     # [2*B*L]
-    qstart = (strand_s * B + jnp.where(slot_valid, b_of, 0)) * L
-    q_s = gather_windows(q2, qstart, L)                       # [S, L]
+    # contiguous window per REAL candidate; per-window DMA on TPU
+    corr_starts = jnp.where(slot_valid, corr_start_s, 0)
+    q2 = jnp.concatenate([reads, rc], axis=0)                 # [2B, L]
+    qrow = strand_s * B + jnp.where(slot_valid, b_of, 0)
+    if _use_dma(T, L):
+        corr_s = dma_gather_windows(as_dma_table(genome), corr_starts, T)
+        # pad query rows to a 128 stride so windows start lane-aligned
+        Lp = ((L + 127) // 128) * 128
+        q2p = jnp.pad(q2, ((0, 0), (0, Lp - L)), constant_values=4)
+        q_s = dma_gather_windows(as_dma_table(q2p.reshape(-1)), qrow * Lp, L)
+    else:
+        corr_s = gather_windows(pad_table(genome, T, 4), corr_starts, T)
+        q_s = gather_windows(q2.reshape(-1), qrow * L, L)
+    corr_s = jnp.where(slot_valid[:, None], corr_s, 4)        # [S, T]
 
     # score every real candidate (ref: IAlignment::BatchScore)
     sres = banded_sw_score(
@@ -211,8 +221,16 @@ def _finish(
     # (a read with zero candidates points at a junk slot — its s1 is 0, so
     # every derived field is gated by `mapped`)
     win_slot = jnp.clip(base + a1, 0, S - 1)
-    best_corr = gather_windows(corr_s.reshape(-1), win_slot * T, T)
-    best_query = gather_windows(q_s.reshape(-1), win_slot * L, L)
+    if _use_dma(T, L):
+        best_corr = dma_gather_windows(
+            as_dma_table(corr_s.reshape(-1)), win_slot * T, T
+        )
+        best_query = dma_gather_windows(
+            as_dma_table(q_s.reshape(-1)), win_slot * L, L
+        )
+    else:
+        best_corr = gather_windows(corr_s.reshape(-1), win_slot * T, T)
+        best_query = gather_windows(q_s.reshape(-1), win_slot * L, L)
     ares = banded_sw_align(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
@@ -271,7 +289,7 @@ def map_step(
     min_kmer_hits=1, slot_cap=0, read_stride=1, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
-    slot_cap = slot_cap or 4 * reads.shape[0]
+    slot_cap = slot_cap or 2 * reads.shape[0]
     sw, corr_start, strand, slots, n_cands, overflow = (
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,
@@ -306,7 +324,7 @@ def map_step_paired(
     traceback).  Falls back to best singletons when no pair clears
     pair_cutoff * (best1 + best2) — the "broken pair" path.
     """
-    slot_cap = slot_cap or 4 * reads.shape[0]
+    slot_cap = slot_cap or 2 * reads.shape[0]
     sw, corr_start, strand, slots, n_cands, overflow = (
         _candidates_and_scores(
             genome, offsets, positions, reads, lengths, matrices,

@@ -97,22 +97,35 @@ def _compact_hits(km, ok, offsets, positions, max_freq, *, fanout_cap, hit_cap):
 
 
 def _select_candidates(votes, sensitivity, max_cmrs, axis_name):
-    """Sort strand-tagged votes, run-length count, threshold, stable top-C."""
+    """Sort tagged votes, run-length count, threshold, stable top-C.
+
+    `votes` carry a provenance LSB: direct votes are 2*v+1, pair-merge
+    (bucket-below) votes are 2*v.  Buckets are runs of v = vote >> 1; within
+    a run direct votes sort LAST, so the run-end element is direct iff the
+    bucket has ANY direct hit.  Pure-phantom buckets (only merge votes) are
+    suppressed — their corridor is a subset of their successor's, so they
+    would only burn a candidate slot.
+    """
     B, N = votes.shape
     C = max_cmrs
     s = jnp.sort(votes, axis=-1)
+    sb = s >> 1                                  # bucket id per element
     ar = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), s[:, :-1]], axis=1)
+    prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), sb[:, :-1]], axis=1)
     nxt = jnp.concatenate(
-        [s[:, 1:], jnp.full((B, 1), SENTINEL, jnp.int32) - 1], axis=1
+        [sb[:, 1:], jnp.full((B, 1), SENTINEL, jnp.int32)], axis=1
     )
-    is_start = s != prev
-    is_end = s != nxt
+    is_start = sb != prev
+    is_end = sb != nxt
     start_idx = _cummax(jnp.where(is_start, ar, 0), axis=1)
     # run length at run ENDS: only one FORWARD scan needed; run-end indices
     # are ascending in vote value so stable top_k still tie-breaks by
     # (strand asc, bucket asc) per DESIGN.md rules 6/7
-    key = jnp.where(is_end & (s != SENTINEL), ar - start_idx + 1, 0)
+    key = jnp.where(
+        is_end & (sb != SENTINEL >> 1) & ((s & 1) == 1),
+        ar - start_idx + 1,
+        0,
+    )
 
     best = jnp.max(key, axis=1)
     # under index sharding the adaptive threshold must be relative to the
@@ -174,17 +187,19 @@ def candidate_search_dual(
     diag = pos - qoff
     bucket = diag >> diag_bin_log2
     vote = strand * _STRAND_OFF + bucket + _BIAS
-    vote = jnp.where(valid, vote, SENTINEL)
 
-    # double-vote: a hit in bucket b votes for b AND b−1, so that the vote
-    # count of b is hits(b) + hits(b+1) — the adjacent-bin pair merge
-    vote_lo = jnp.where(valid, vote - 1, SENTINEL)
-    votes = jnp.concatenate([vote, vote_lo], axis=1)     # [B, 2H]
+    # double-vote: a hit in bucket b votes for b (direct, LSB=1) AND b−1
+    # (merge vote, LSB=0), so the vote count of b is hits(b) + hits(b+1) —
+    # the adjacent-bin pair merge — and pure-phantom buckets are detectable
+    vote_hi = jnp.where(valid, 2 * vote + 1, SENTINEL)
+    vote_lo = jnp.where(valid, 2 * (vote - 1), SENTINEL)
+    votes = jnp.concatenate([vote_hi, vote_lo], axis=1)  # [B, 2H]
 
     top_vote, top_score, best, co = _select_candidates(
         votes, sensitivity, max_cmrs, axis_name
     )
     got = top_score > 0
+    top_vote = top_vote >> 1
     top_strand = jnp.where(got, top_vote // _STRAND_OFF, 0)
     top_bucket = jnp.where(
         got, top_vote - top_strand * _STRAND_OFF - _BIAS, SENTINEL
@@ -230,15 +245,16 @@ def candidate_search(
     )
     diag = pos - qid * stride
     bucket = diag >> diag_bin_log2
-    vote = jnp.where(valid, bucket + _BIAS, SENTINEL)
-    vote_lo = jnp.where(valid, vote - 1, SENTINEL)
-    votes = jnp.concatenate([vote, vote_lo], axis=1)
+    vote = bucket + _BIAS
+    vote_hi = jnp.where(valid, 2 * vote + 1, SENTINEL)
+    vote_lo = jnp.where(valid, 2 * (vote - 1), SENTINEL)
+    votes = jnp.concatenate([vote_hi, vote_lo], axis=1)
 
     top_vote, top_score, best, co = _select_candidates(
         votes, sensitivity, max_cmrs, axis_name
     )
     got = top_score > 0
-    top_bucket = jnp.where(got, top_vote - _BIAS, SENTINEL)
+    top_bucket = jnp.where(got, (top_vote >> 1) - _BIAS, SENTINEL)
     return Candidates(
         bucket=top_bucket,
         score=top_score,
