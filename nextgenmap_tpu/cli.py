@@ -144,11 +144,13 @@ def main(argv: list[str] | None = None) -> int:
         from nextgenmap_tpu.index.kmer_index import KmerIndex
 
         genome = Genome.open(a.reference)
-        KmerIndex.open(
-            a.reference, genome.codes, genome.sha1(),
-            k=a.kmer, skip=a.kmer_skip, max_freq=a.max_freq,
-            collapse_ct=a.bs_mapping,
-        )
+        modes = ("ct", "ga") if a.bs_mapping else ("none",)
+        for collapse in modes:
+            KmerIndex.open(
+                a.reference, genome.codes, genome.sha1(),
+                k=a.kmer, skip=a.kmer_skip, max_freq=a.max_freq,
+                collapse=collapse,
+            )
         return 0
 
     if not (a.qry or a.qry1):

@@ -25,16 +25,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from nextgenmap_tpu.io.encode import CODE_C, CODE_T
+from nextgenmap_tpu.io.encode import CODE_A, CODE_C, CODE_G, CODE_T
 
 
-@partial(jax.jit, static_argnames=("k", "skip", "collapse_ct"))
+@partial(jax.jit, static_argnames=("k", "skip", "collapse"))
 def build_index_device(
     genome: jax.Array,  # [G] uint8 codes
     *,
     k: int,
     skip: int,
-    collapse_ct: bool = False,
+    collapse: str = "none",
 ):
     """Returns (offsets int32 [4^k + 2], positions int32 [Q]).
 
@@ -46,8 +46,12 @@ def build_index_device(
     nb = 4**k
     Q = (G - k) // skip + 1
     c = genome.astype(jnp.int32)
-    if collapse_ct:
+    if collapse == "ct":
         c = jnp.where(c == CODE_C, CODE_T, c)
+    elif collapse == "ga":
+        c = jnp.where(c == CODE_G, CODE_A, c)
+    else:
+        assert collapse == "none", collapse
 
     vals = jnp.zeros((Q,), dtype=jnp.int32)
     ok = jnp.ones((Q,), dtype=bool)

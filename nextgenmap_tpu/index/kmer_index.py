@@ -27,27 +27,32 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from nextgenmap_tpu.io.encode import CODE_C, CODE_T
+from nextgenmap_tpu.io.encode import CODE_A, CODE_C, CODE_G, CODE_T
 from nextgenmap_tpu.utils.logging import get_logger
 
 log = get_logger("ngm-tpu.index")
 
-INDEX_VERSION = 1
+INDEX_VERSION = 2
 _CHUNK = 1 << 24  # genome positions per build chunk
 
 
-def kmer_values(codes: np.ndarray, k: int, collapse_ct: bool = False):
+def kmer_values(codes: np.ndarray, k: int, collapse: str = "none"):
     """Rolling k-mer values over a code array.
 
     Returns (values uint64 [n-k+1], valid bool [n-k+1]); windows containing
-    any non-ACGT code are invalid.  With collapse_ct, C is hashed as T.
+    any non-ACGT code are invalid.  collapse: "none" | "ct" (hash C as T,
+    bisulfite forward pass) | "ga" (hash G as A, bisulfite rc pass).
     """
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
     c = codes.astype(np.uint64)
-    if collapse_ct:
+    if collapse == "ct":
         c = np.where(c == CODE_C, np.uint64(CODE_T), c)
+    elif collapse == "ga":
+        c = np.where(c == CODE_G, np.uint64(CODE_A), c)
+    else:
+        assert collapse == "none", collapse
     m = n - k + 1
     v = np.zeros(m, dtype=np.uint64)
     ok = np.ones(m, dtype=bool)
@@ -63,7 +68,7 @@ class KmerIndex:
     k: int
     skip: int
     max_freq: int
-    collapse_ct: bool
+    collapse: str
     genome_sha1: str
     offsets: np.ndarray    # int64 [4^k + 1], CSR row offsets
     positions: np.ndarray  # uint32 [total], genome positions grouped by k-mer
@@ -97,7 +102,7 @@ class KmerIndex:
         k: int = 13,
         skip: int = 2,
         max_freq: int = 1000,
-        collapse_ct: bool = False,
+        collapse: str = "none",
         genome_sha1: str = "",
     ) -> "KmerIndex":
         """Two-pass CSR build (vectorized numpy; one-time cost, memoized)."""
@@ -108,7 +113,7 @@ class KmerIndex:
         def chunks():
             for start in range(0, n, _CHUNK):
                 stop = min(n, start + _CHUNK + k - 1)
-                v, ok = kmer_values(genome_codes[start:stop], k, collapse_ct)
+                v, ok = kmer_values(genome_codes[start:stop], k, collapse)
                 if v.shape[0] == 0:
                     continue
                 # global stride: keep positions where (start + i) % skip == 0
@@ -160,20 +165,20 @@ class KmerIndex:
             k, skip, total, n_dropped,
         )
         return cls(
-            k=k, skip=skip, max_freq=max_freq, collapse_ct=collapse_ct,
+            k=k, skip=skip, max_freq=max_freq, collapse=collapse,
             genome_sha1=genome_sha1, offsets=offsets, positions=positions,
         )
 
     # -- memoization (ref: <ref>-ht-<k>-<skip>.<v>.ngm artifacts) --
     @staticmethod
-    def cache_path(fasta_path: str, k: int, skip: int, collapse_ct: bool) -> str:
-        bs = "-bs" if collapse_ct else ""
-        return f"{fasta_path}.ngmt-ht-{k}-{skip}{bs}.v{INDEX_VERSION}.npz"
+    def cache_path(fasta_path: str, k: int, skip: int, collapse: str = "none") -> str:
+        cs = "" if collapse == "none" else f"-{collapse}"
+        return f"{fasta_path}.ngmt-ht-{k}-{skip}{cs}.v{INDEX_VERSION}.npz"
 
     def save(self, path: str) -> None:
         meta = {
             "version": INDEX_VERSION, "k": self.k, "skip": self.skip,
-            "max_freq": self.max_freq, "collapse_ct": self.collapse_ct,
+            "max_freq": self.max_freq, "collapse": self.collapse,
             "genome_sha1": self.genome_sha1,
         }
         np.savez(
@@ -189,24 +194,24 @@ class KmerIndex:
                 raise ValueError("index version mismatch")
             return cls(
                 k=meta["k"], skip=meta["skip"], max_freq=meta["max_freq"],
-                collapse_ct=meta["collapse_ct"], genome_sha1=meta["genome_sha1"],
+                collapse=meta["collapse"], genome_sha1=meta["genome_sha1"],
                 offsets=z["offsets"], positions=z["positions"],
             )
 
     @classmethod
     def open(
         cls, fasta_path: str, genome_codes: np.ndarray, genome_sha1: str,
-        k: int, skip: int, max_freq: int, collapse_ct: bool = False,
+        k: int, skip: int, max_freq: int, collapse: str = "none",
         skip_save: bool = False,
     ) -> "KmerIndex":
-        cache = cls.cache_path(fasta_path, k, skip, collapse_ct)
+        cache = cls.cache_path(fasta_path, k, skip, collapse)
         if os.path.exists(cache):
             idx = cls.load(cache)
             if idx.genome_sha1 == genome_sha1 and idx.max_freq == max_freq:
                 log.info("loaded k-mer index from %s", cache)
                 return idx
             log.warning("stale index cache (genome or params changed); rebuilding")
-        idx = cls.build(genome_codes, k, skip, max_freq, collapse_ct, genome_sha1)
+        idx = cls.build(genome_codes, k, skip, max_freq, collapse, genome_sha1)
         if not skip_save:
             try:
                 idx.save(cache)

@@ -39,14 +39,14 @@ from nextgenmap_tpu.ops.gather import gather_windows, pad_table
 from nextgenmap_tpu.ops.gather_pallas import (
     MAX_WINDOW, as_dma_table, dma_gather_windows,
 )
+from nextgenmap_tpu.ops.kmer import extract_kmers
+from nextgenmap_tpu.ops.scoring import score_matrix
+from nextgenmap_tpu.ops.sw_ref import banded_sw_align, banded_sw_score
 
 
 def _use_dma(*sizes) -> bool:
     """DMA window gather on TPU when every window fits the kernel's span."""
     return jax.default_backend() == "tpu" and all(s <= MAX_WINDOW for s in sizes)
-from nextgenmap_tpu.ops.kmer import extract_kmers
-from nextgenmap_tpu.ops.scoring import score_matrix
-from nextgenmap_tpu.ops.sw_ref import banded_sw_align, banded_sw_score
 
 
 class MapResult(NamedTuple):
@@ -81,7 +81,7 @@ def _candidates_and_scores(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
-    slot_cap, read_stride=1, cs_axis=None,
+    slot_cap, read_stride=1, bs=False, cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
@@ -102,7 +102,13 @@ def _candidates_and_scores(
     bin_w = 1 << diag_bin_log2
 
     rc = revcomp_batch(reads)
-    km_f, ok_f = extract_kmers(reads, lengths, k, stride=read_stride)
+    # bisulfite (SURVEY.md §2 component 22): the fwd pass is C->T tolerant
+    # (read and index CT-collapsed); the rc pass is G->A tolerant (the rc of
+    # an original-bottom-strand read shows G->A vs the fwd genome) and looks
+    # up the second, GA-collapsed CSR table
+    km_f, ok_f = extract_kmers(
+        reads, lengths, k, stride=read_stride, collapse="ct" if bs else "none"
+    )
     # the rc flip moves right-padding to the front for reads shorter than L;
     # shift each rc row left by (L - length) so rc reads start at column 0
     shift = (L - lengths)[:, None]
@@ -110,12 +116,15 @@ def _candidates_and_scores(
     rc = jnp.take_along_axis(
         jnp.pad(rc, ((0, 0), (0, L)), constant_values=4), idx, axis=1
     )
-    km_r, ok_r = extract_kmers(rc, lengths, k, stride=read_stride)
+    km_r, ok_r = extract_kmers(
+        rc, lengths, k, stride=read_stride, collapse="ga" if bs else "none"
+    )
 
     cand = candidate_search_dual(
         km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
         fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-        diag_bin_log2=diag_bin_log2, stride=read_stride, axis_name=cs_axis,
+        diag_bin_log2=diag_bin_log2, stride=read_stride, dual_tables=bs,
+        axis_name=cs_axis,
     )
     bucket, cs_score, strand = cand.bucket, cand.score, cand.strand
     cand_valid = cs_score >= max(1, min_kmer_hits)
@@ -277,7 +286,7 @@ def _finish(
 
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
-    "min_kmer_hits", "slot_cap", "read_stride", "cs_axis",
+    "min_kmer_hits", "slot_cap", "read_stride", "bs", "cs_axis",
 )
 
 
@@ -286,7 +295,7 @@ def map_step(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
     slot_cap = slot_cap or 2 * reads.shape[0]
@@ -296,7 +305,7 @@ def map_step(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, cs_axis=cs_axis,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs, cs_axis=cs_axis,
         )
     )
     a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
@@ -314,7 +323,7 @@ def map_step_paired(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -331,7 +340,7 @@ def map_step_paired(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, cs_axis=cs_axis,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs, cs_axis=cs_axis,
         )
     )
     B, C = sw.shape
@@ -399,16 +408,38 @@ class Mapper:
     cfg: NgmConfig
     genome: Genome
     read_len: int
-    index: KmerIndex | None = None
+    index: KmerIndex | tuple | None = None
 
     def __post_init__(self):
         self._genome_dev = jax.device_put(jnp.asarray(self.genome.codes))
-        if self.index is None:
+        if self.cfg.bs_mapping:
+            # two collapsed CSR tables, concatenated: fwd pass looks up the
+            # CT table, rc pass the GA table (offsets pre-shifted into the
+            # shared positions array)
+            if self.index is None:
+                from nextgenmap_tpu.index.device_build import build_index_device
+
+                off1, pos1 = build_index_device(
+                    self._genome_dev, k=self.cfg.kmer, skip=self.cfg.kmer_skip,
+                    collapse="ct",
+                )
+                off2, pos2 = build_index_device(
+                    self._genome_dev, k=self.cfg.kmer, skip=self.cfg.kmer_skip,
+                    collapse="ga",
+                )
+            else:
+                idx_ct, idx_ga = self.index
+                o1, p1 = idx_ct.device_arrays()
+                o2, p2 = idx_ga.device_arrays()
+                off1, pos1 = jnp.asarray(o1), jnp.asarray(p1)
+                off2, pos2 = jnp.asarray(o2), jnp.asarray(p2)
+            self._off_dev = jnp.concatenate([off1, off2 + pos1.shape[0]])
+            self._pos_dev = jnp.concatenate([pos1, pos2])
+        elif self.index is None:
             from nextgenmap_tpu.index.device_build import build_index_device
 
             off, pos = build_index_device(
                 self._genome_dev, k=self.cfg.kmer, skip=self.cfg.kmer_skip,
-                collapse_ct=self.cfg.bs_mapping,
             )
             self._off_dev, self._pos_dev = off, pos
         else:
@@ -440,6 +471,7 @@ class Mapper:
             diag_bin_log2=cfg.diag_bin_log2, band=self.band,
             min_kmer_hits=max(1, cfg.kmer_min),
             read_stride=cfg.read_kmer_skip,
+            bs=cfg.bs_mapping,
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:

@@ -58,8 +58,16 @@ def _cummax(x, axis):
     return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
 
 
-def _compact_hits(km, ok, offsets, positions, max_freq, *, fanout_cap, hit_cap):
+def _compact_hits(
+    km, ok, offsets, positions, max_freq,
+    *, fanout_cap, hit_cap, table_split=0,
+):
     """Compact the ragged CSR fan-out of a kmer batch into [B, H] hit slots.
+
+    With table_split > 0, `offsets` holds TWO concatenated CSR offset tables
+    (bisulfite: CT-collapsed for the forward pass, GA-collapsed for the rc
+    pass, second table pre-shifted into the shared positions array); kmer
+    slots >= table_split look up the second table.
 
     Returns (pos [B, H] genome positions, qid [B, H] owning kmer slot,
     valid [B, H], fanout_overflow, hit_overflow).
@@ -69,6 +77,12 @@ def _compact_hits(km, ok, offsets, positions, max_freq, *, fanout_cap, hit_cap):
     H = hit_cap
 
     kmw = jnp.where(ok, km, 0)
+    if table_split:
+        stride = offsets.shape[0] // 2
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, Qt), 1) >= table_split
+        ).astype(jnp.int32)
+        kmw = kmw + sel * stride
     o0 = offsets[kmw]                        # [B, Qt]
     o1 = offsets[kmw + 1]
     cnt = jnp.where(ok, o1 - o0, 0)
@@ -148,7 +162,8 @@ def _select_candidates(votes, sensitivity, max_cmrs, axis_name):
 @partial(
     jax.jit,
     static_argnames=(
-        "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride", "axis_name"
+        "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride",
+        "dual_tables", "axis_name",
     ),
 )
 def candidate_search_dual(
@@ -166,13 +181,15 @@ def candidate_search_dual(
     max_cmrs: int,
     diag_bin_log2: int,
     stride: int = 1,
+    dual_tables: bool = False,
     axis_name: str | None = None,
 ) -> Candidates:
     """Both strands in ONE counting pass (like the reference's CS table).
 
     The adaptive threshold is relative to the best region across both
     strands; candidate order is score DESC, strand asc (fwd first),
-    bucket asc.
+    bucket asc.  With dual_tables (bisulfite), the rc-strand kmers look up
+    the second (GA-collapsed) CSR table in the concatenated `offsets`.
     """
     B, Q = km_f.shape
     km = jnp.concatenate([km_f, km_r], axis=1)           # [B, 2Q]
@@ -181,6 +198,7 @@ def candidate_search_dual(
     pos, qid, valid, fo, ho = _compact_hits(
         km, ok, offsets, positions, max_freq,
         fanout_cap=fanout_cap, hit_cap=hit_cap,
+        table_split=Q if dual_tables else 0,
     )
     strand = (qid >= Q).astype(jnp.int32)                # [B, H]
     qoff = jnp.where(strand == 1, qid - Q, qid) * stride

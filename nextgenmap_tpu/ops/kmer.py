@@ -5,9 +5,15 @@ k-mer enumerator feeding index lookups.  Here it is a jitted rolling-hash
 over the whole ``[B, L]`` batch at once; k is static so the window combine
 unrolls to k vector ops on the VPU.
 
-Read-side k-mers are enumerated at stride ``read_kmer_skip`` (default 1 —
-REQUIRED when the index strides global genome positions, otherwise stride
-phases can miss a locus entirely; see DESIGN.md).
+Read-side k-mers are enumerated at stride ``read_kmer_skip`` (kmer_skip and
+read_kmer_skip must not both exceed 1, or stride phases can miss a locus;
+see DESIGN.md).
+
+Bisulfite collapse modes (SURVEY.md §2 component 22): "ct" hashes C as T
+(forward pass: a C->T-converted read still hits its locus against the
+CT-collapsed index); "ga" hashes G as A (reverse-complement pass: the rc of
+an original-bottom-strand read shows G->A against the forward genome, so it
+is searched in the GA-collapsed index).
 """
 
 from __future__ import annotations
@@ -17,12 +23,21 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from nextgenmap_tpu.io.encode import CODE_C, CODE_T
+from nextgenmap_tpu.io.encode import CODE_A, CODE_C, CODE_G, CODE_T
 
 
-@partial(jax.jit, static_argnames=("k", "stride", "collapse_ct"))
+def collapse_codes(c: jax.Array, collapse: str) -> jax.Array:
+    if collapse == "ct":
+        return jnp.where(c == CODE_C, CODE_T, c)
+    if collapse == "ga":
+        return jnp.where(c == CODE_G, CODE_A, c)
+    assert collapse == "none", collapse
+    return c
+
+
+@partial(jax.jit, static_argnames=("k", "stride", "collapse"))
 def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1,
-                  collapse_ct: bool = False):
+                  collapse: str = "none"):
     """Rolling k-mer values for a read batch.
 
     Args:
@@ -31,7 +46,7 @@ def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1,
       k: k-mer length (static, <= 15 so values fit int32 for k<=13; int32 is
          fine up to 4^15 < 2^31).
       stride: read-side enumeration stride (static).
-      collapse_ct: hash C as T (bisulfite mode).
+      collapse: "none" | "ct" (hash C as T) | "ga" (hash G as A).
 
     Returns:
       (kmers [B, Q] int32, valid [B, Q] bool) with Q = (L-k)//stride + 1.
@@ -39,9 +54,7 @@ def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1,
     """
     B, L = codes.shape
     Q = max(1, (L - k) // stride + 1)
-    c = codes.astype(jnp.int32)
-    if collapse_ct:
-        c = jnp.where(c == CODE_C, CODE_T, c)
+    c = collapse_codes(codes.astype(jnp.int32), collapse)
     vals = jnp.zeros((B, Q), dtype=jnp.int32)
     ok = jnp.ones((B, Q), dtype=bool)
     for j in range(k):

@@ -25,21 +25,29 @@ from nextgenmap_tpu.utils.stats import MappingStats
 log = get_logger("ngm-tpu.run")
 
 
-def load_reference(cfg: NgmConfig, ref_path: str) -> tuple[Genome, KmerIndex | None]:
+def load_reference(cfg: NgmConfig, ref_path: str):
+    """Returns (genome, index) where index is None (device build), one
+    KmerIndex, or a (CT, GA) pair for bisulfite mode."""
     genome = Genome.open(ref_path, skip_save=cfg.skip_save)
-    # the k-mer index builds on DEVICE in milliseconds (index/device_build.py),
+    # the k-mer index builds on DEVICE in seconds (index/device_build.py),
     # so unlike the reference there is nothing to memoize on the hot path; a
     # host-built artifact (ngm-tpu index verb / KmerIndex.open) is still
     # honored when present
-    cache = KmerIndex.cache_path(ref_path, cfg.kmer, cfg.kmer_skip, cfg.bs_mapping)
     import os
 
-    if os.path.exists(cache):
-        index = KmerIndex.load(cache)
-        if index.genome_sha1 == genome.sha1():
-            log.info("loaded k-mer index from %s", cache)
-            return genome, index
-    return genome, None
+    def try_load(collapse: str) -> KmerIndex | None:
+        cache = KmerIndex.cache_path(ref_path, cfg.kmer, cfg.kmer_skip, collapse)
+        if os.path.exists(cache):
+            index = KmerIndex.load(cache)
+            if index.genome_sha1 == genome.sha1():
+                log.info("loaded k-mer index from %s", cache)
+                return index
+        return None
+
+    if cfg.bs_mapping:
+        ct, ga = try_load("ct"), try_load("ga")
+        return genome, (ct, ga) if ct and ga else None
+    return genome, try_load("none")
 
 
 def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,

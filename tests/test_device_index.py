@@ -36,6 +36,6 @@ def test_device_build_invalid_windows_routed_out():
 
 def test_device_build_collapse_ct(ecoli_like):
     g = ecoli_like[:5_000]
-    host = KmerIndex.build(g, k=8, skip=1, max_freq=1 << 30, collapse_ct=True)
-    off_d, pos_d = build_index_device(jnp.asarray(g), k=8, skip=1, collapse_ct=True)
+    host = KmerIndex.build(g, k=8, skip=1, max_freq=1 << 30, collapse="ct")
+    off_d, pos_d = build_index_device(jnp.asarray(g), k=8, skip=1, collapse="ct")
     assert np.array_equal(np.asarray(off_d)[: 4**8 + 1], host.offsets)

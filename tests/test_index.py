@@ -78,8 +78,8 @@ def test_save_load_roundtrip(tmp_path, ecoli_like):
 
 def test_collapse_ct():
     codes = encode_seq("ACGTTCGT")
-    v1, _ = kmer_values(codes, 4, collapse_ct=True)
-    v2, _ = kmer_values(encode_seq("ATGTTTGT"), 4, collapse_ct=True)
+    v1, _ = kmer_values(codes, 4, collapse="ct")
+    v2, _ = kmer_values(encode_seq("ATGTTTGT"), 4, collapse="ct")
     assert v1.tolist() == v2.tolist()
 
 
