@@ -92,6 +92,13 @@ def build_parser():
                        help="static padded read length (0 = infer)")
         g.add_argument("--corridor", type=int, default=0)
         g.add_argument("--no-progress", action="store_true")
+        g.add_argument("--qry-start", type=int, default=0,
+                       help="skip the first N input reads")
+        g.add_argument("--qry-count", type=int, default=0,
+                       help="map at most N reads (0 = all)")
+        g.add_argument("--resume", action="store_true",
+                       help="continue an interrupted run from its "
+                            "<out>.ngmt-progress.json checkpoint")
 
     map_p = sub.add_parser("map", help="map reads (default verb)")
     add_common(map_p)
@@ -128,6 +135,7 @@ def config_from_args(a) -> NgmConfig:
         rg_pu=a.rg_pu, bam=a.bam,
         batch_size=a.batch_size, read_len=a.read_len, corridor=a.corridor,
         skip_save=a.skip_save, no_progress=a.no_progress, threads=a.threads,
+        qry_start=a.qry_start, qry_count=a.qry_count,
     )
 
 
@@ -168,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
         paired_interleaved=a.paired,
         out_path=a.output,
         cmdline=shlex.join(["ngm-tpu"] + argv),
+        resume=a.resume,
     )
     log.info("exit: %s", stats.summary())
     return 0

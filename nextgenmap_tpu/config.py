@@ -84,6 +84,8 @@ class NgmConfig:
     skip_save: bool = False       # don't memoize index artifacts
     no_progress: bool = False
     threads: int = 1              # host IO threads (device work is bulk-synchronous)
+    qry_start: int = 0            # skip the first N input reads (ref --qry-start)
+    qry_count: int = 0            # map at most N reads, 0 = all (ref --qry-count)
 
     # ------------------------------------------------------------------
     def corridor_for(self, read_len: int) -> int:

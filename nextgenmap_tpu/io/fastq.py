@@ -115,10 +115,22 @@ def _pack(records: list[ReadRecord], batch_size: int, read_len: int, paired: boo
     return ReadBatch(codes, lengths, names, quals, n=len(records), paired=paired)
 
 
-def batch_single(path: str, batch_size: int, read_len: int) -> Iterator[ReadBatch]:
+def _window(it: Iterator[ReadRecord], skip: int, count: int) -> Iterator[ReadRecord]:
+    """Skip the first `skip` reads; yield at most `count` (0 = unlimited).
+
+    Backs --qry-start/--qry-count and checkpoint resume (SURVEY.md §5.4:
+    resume = record the input offset per host, re-enter at a read boundary).
+    """
+    stop = None if count <= 0 else skip + count
+    return itertools.islice(it, skip, stop)
+
+
+def batch_single(
+    path: str, batch_size: int, read_len: int, skip: int = 0, count: int = 0
+) -> Iterator[ReadBatch]:
     """Single-end: pack reads into [B, L] batches (last one padded)."""
     buf: list[ReadRecord] = []
-    for rec in iter_reads(path):
+    for rec in _window(iter_reads(path), skip, count):
         buf.append(rec)
         if len(buf) == batch_size:
             yield _pack(buf, batch_size, read_len, paired=False)
@@ -128,11 +140,13 @@ def batch_single(path: str, batch_size: int, read_len: int) -> Iterator[ReadBatc
 
 
 def batch_paired(
-    path1: str, path2: str | None, batch_size: int, read_len: int
+    path1: str, path2: str | None, batch_size: int, read_len: int,
+    skip: int = 0, count: int = 0,
 ) -> Iterator[ReadBatch]:
     """Paired-end from two files (-1/-2) or one interleaved file (-p).
 
     batch_size must be even; rows 2i/2i+1 hold the two mates of pair i.
+    skip/count are in READS (must be even — enforced by the caller).
     """
     if batch_size % 2:
         raise ValueError("paired batch_size must be even")
@@ -141,6 +155,7 @@ def batch_paired(
         flat: Iterator[ReadRecord] = itertools.chain.from_iterable(pairs)
     else:
         flat = iter_reads(path1)
+    flat = _window(flat, skip, count)
     buf: list[ReadRecord] = []
     for rec in flat:
         buf.append(rec)

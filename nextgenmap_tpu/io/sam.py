@@ -29,6 +29,7 @@ FLAG_REVERSE = 0x10
 FLAG_MATE_REVERSE = 0x20
 FLAG_FIRST = 0x40
 FLAG_SECOND = 0x80
+FLAG_SECONDARY = 0x100
 
 _OP_SYM = {OP_M: "M", OP_I: "I", OP_D: "D"}
 

@@ -317,6 +317,42 @@ def map_step(
     )
 
 
+@partial(jax.jit, static_argnames=_STATICS + ("topn",))
+def map_step_topn(
+    genome, offsets, positions, reads, lengths, matrices,
+    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, topn=2, cs_axis=None,
+) -> tuple:
+    """Single-end mapping with up to `topn` alignments per read (ref -n).
+
+    Returns a tuple of `topn` MapResults ordered score DESC (DESIGN.md rule
+    11 tie-breaking); entry j is valid for a read where its score > 0.  The
+    host emitter applies --strata (keep only the top-score stratum) and
+    near-duplicate suppression, and marks entries 1.. as SAM secondary.
+    """
+    slot_cap = slot_cap or 2 * reads.shape[0]
+    sw, corr_start, strand, slots, n_cands, overflow = (
+        _candidates_and_scores(
+            genome, offsets, positions, reads, lengths, matrices,
+            gopen_q, gopen_r, gext, sensitivity, max_freq,
+            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+            diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs, cs_axis=cs_axis,
+        )
+    )
+    proper = jnp.zeros(sw.shape[0], dtype=bool)
+    _, top_idx = jax.lax.top_k(sw, topn)   # stable: rule 11 order
+    return tuple(
+        _finish(
+            top_idx[:, j], sw, corr_start, strand, slots, lengths, matrices,
+            gopen_q, gopen_r, gext, min_identity, min_residues,
+            n_cands, overflow, proper, band=band,
+        )
+        for j in range(topn)
+    )
+
+
 @partial(jax.jit, static_argnames=_STATICS)
 def map_step_paired(
     genome, offsets, positions, reads, lengths, matrices,
@@ -476,6 +512,13 @@ class Mapper:
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         return map_step(*self._common_args(codes, lengths), **self._statics())
+
+    def map_batch_topn(self, codes: np.ndarray, lengths: np.ndarray) -> tuple:
+        return map_step_topn(
+            *self._common_args(codes, lengths),
+            topn=min(self.cfg.topn, self.cfg.max_cmrs),
+            **self._statics(),
+        )
 
     def map_batch_paired(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         cfg = self.cfg

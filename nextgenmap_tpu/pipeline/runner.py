@@ -85,6 +85,54 @@ def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,
         )
 
 
+def emit_single_topn(writer: SamWriter, batch: ReadBatch, results: tuple,
+                     stats: MappingStats, strata: bool, read_len: int) -> None:
+    """Emit up to topn alignments per read; entries past the first are SAM
+    secondaries (FLAG 0x100).  --strata keeps only the top-score stratum;
+    near-duplicates (within a read length of a better hit) are suppressed."""
+    from nextgenmap_tpu.io.sam import FLAG_SECONDARY
+
+    cols = [
+        {f: np.asarray(getattr(r, f)) for f in (
+            "mapped", "strand", "pos", "mapq", "score", "ops", "n_ops",
+            "q_start", "q_end", "matches",
+        )} for r in results
+    ]
+    stats.kmer_fanout_overflow += int(results[0].fanout_overflow)
+    stats.cmr_overflow += int(results[0].cmr_overflow)
+    for i in range(batch.n):
+        stats.reads_in += 1
+        L = int(batch.lengths[i])
+        if not cols[0]["mapped"][i]:
+            stats.reads_unmapped += 1
+            writer.write_unmapped(batch.names[i], batch.codes[i, :L], batch.quals[i])
+            continue
+        stats.reads_mapped += 1
+        best_score = int(cols[0]["score"][i])
+        emitted_pos: list[int] = []
+        for j, c in enumerate(cols):
+            if not c["mapped"][i]:
+                break
+            score = int(c["score"][i])
+            if score <= 0 or (strata and score < best_score):
+                break
+            pos = int(c["pos"][i])
+            if any(abs(pos - p) <= read_len for p in emitted_pos):
+                continue  # same locus as a better alignment
+            emitted_pos.append(pos)
+            st = int(c["strand"][i])
+            codes = batch.codes[i, :L]
+            aligned = revcomp_codes(codes) if st else codes
+            no = int(c["n_ops"][i])
+            ident = float(c["matches"][i]) / max(1, no)
+            writer.write_mapped(
+                batch.names[i], aligned, batch.quals[i], L, st,
+                pos, int(c["mapq"][i]) if j == 0 else 0, score,
+                c["ops"][i], no, int(c["q_start"][i]), int(c["q_end"][i]),
+                ident, flag_extra=0 if j == 0 else FLAG_SECONDARY,
+            )
+
+
 def run_mapping(
     cfg: NgmConfig,
     ref_path: str,
@@ -94,7 +142,20 @@ def run_mapping(
     paired_interleaved: bool = False,
     out_path: str | None = None,
     cmdline: str = "",
+    resume: bool = False,
 ) -> MappingStats:
+    """Map reads end-to-end.
+
+    Checkpoint/resume (SURVEY.md §5.4): after every emitted batch a sidecar
+    `<out>.ngmt-progress.json` records reads-emitted + a config hash; with
+    resume=True a matching incomplete sidecar re-enters the input at that
+    read boundary and appends to the output (mapping is per-read
+    deterministic, so restart is idempotent at batch granularity).
+    """
+    import hashlib
+    import json
+    import os
+
     cfg.validate()
     genome, index = load_reference(cfg, ref_path)
 
@@ -103,37 +164,111 @@ def run_mapping(
     read_len = cfg.read_len or peek_read_len(first_file)
     log.info("read length (padded): %d", read_len)
 
+    # -- checkpoint/resume bookkeeping --
+    progress_path = (
+        f"{out_path}.ngmt-progress.json" if out_path not in (None, "-") else None
+    )
+    # the hash covers mapping SEMANTICS; the input window (qry_start/count)
+    # is exactly what resume adjusts, so it must not invalidate a checkpoint
+    cfg_sha = hashlib.sha1(
+        cfg.replace(qry_start=0, qry_count=0).to_json().encode()
+    ).hexdigest()
+    skip = max(0, cfg.qry_start)
+    count = max(0, cfg.qry_count)
+    prior = 0
+    append = False
+    if resume and progress_path and os.path.exists(progress_path):
+        try:
+            p = json.load(open(progress_path))
+        except (OSError, ValueError):
+            p = {}
+        if (
+            p.get("config_sha") == cfg_sha
+            and not p.get("complete")
+            and os.path.exists(out_path)
+            and not cfg.bam  # BGZF cannot be appended record-wise
+        ):
+            prior = int(p.get("reads_emitted", 0))
+            skip += prior
+            if count:
+                count = max(0, count - prior)
+            append = prior > 0
+            log.info("resuming after %d already-emitted reads", prior)
+
+    def save_progress(complete: bool = False) -> None:
+        if progress_path is None:
+            return
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "reads_emitted": prior + stats.reads_in,
+                "config_sha": cfg_sha,
+                "complete": complete,
+            }, f)
+        os.replace(tmp, progress_path)
+
     mapper = Mapper(cfg, genome, read_len, index)
     stats = MappingStats()
-    out = open_output(out_path)
+    if cfg.bam:
+        from nextgenmap_tpu.io.bam import BamTextWriter
+
+        if out_path in (None, "-"):
+            raise ValueError("--bam requires -o <file>")
+        out = BamTextWriter(out_path)
+    else:
+        out = open(out_path, "a", buffering=1 << 20) if append else open_output(out_path)
     writer = SamWriter(genome, cfg, out, cmdline)
-    writer.write_header()
+    if not append:
+        writer.write_header()
+
+    cells_per_aln = read_len * mapper.band  # for the GCUPS counter
+
+    def account(res, batch):
+        n_aln = int(np.asarray(res.n_candidates).sum())
+        stats.alignments_computed += n_aln
+        stats.cells_computed += (n_aln + batch.n) * cells_per_aln
 
     paired = qry1 is not None or paired_interleaved
     t0 = time.time()
     stats.start_time = t0
     if not paired:
-        batches = batch_single(qry, cfg.batch_size, read_len)
+        topn = max(1, cfg.topn)
+        batches = batch_single(qry, cfg.batch_size, read_len, skip, count)
         for batch in batches:
-            res = mapper.map_batch(batch.codes, batch.lengths)
-            emit_single(writer, batch, res, stats)
+            if topn > 1:
+                results = mapper.map_batch_topn(batch.codes, batch.lengths)
+                account(results[0], batch)
+                emit_single_topn(writer, batch, results, stats,
+                                 cfg.strata, read_len)
+            else:
+                res = mapper.map_batch(batch.codes, batch.lengths)
+                account(res, batch)
+                emit_single(writer, batch, res, stats)
+            save_progress()
             if not cfg.no_progress:
                 log.info(
-                    "processed %d reads (%.0f reads/s)",
-                    stats.reads_in, stats.reads_per_sec(),
+                    "processed %d reads (%.0f reads/s, %.2f GCUPS)",
+                    stats.reads_in, stats.reads_per_sec(), stats.gcups(),
                 )
     else:
         from nextgenmap_tpu.pair.resolve import map_paired_batch
 
-        src = batch_paired(qry1 or qry, qry2, cfg.batch_size, read_len)
+        if skip % 2 or count % 2:
+            raise ValueError("paired qry-start/qry-count/resume must be even")
+        src = batch_paired(qry1 or qry, qry2, cfg.batch_size, read_len,
+                           skip, count)
         for batch in src:
-            map_paired_batch(mapper, writer, batch, stats)
+            res = map_paired_batch(mapper, writer, batch, stats)
+            if res is not None:
+                account(res, batch)
+            save_progress()
             if not cfg.no_progress:
                 log.info(
-                    "processed %d reads (%.0f reads/s)",
-                    stats.reads_in, stats.reads_per_sec(),
+                    "processed %d reads (%.0f reads/s, %.2f GCUPS)",
+                    stats.reads_in, stats.reads_per_sec(), stats.gcups(),
                 )
-    if out_path not in (None, "-"):
+    if cfg.bam or out_path not in (None, "-"):
         out.close()
+    save_progress(complete=True)
     log.info("done: %s", stats.summary())
     return stats
