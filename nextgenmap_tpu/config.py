@@ -49,6 +49,7 @@ class NgmConfig:
     gap_ref_penalty: int = 20     # gap opened in the reference
     gap_extend_penalty: int = 20  # NGM default == open => effectively linear gaps
     affine: bool = False          # ref --affine: true affine-gap kernel
+    sw_backend: str = "xla"       # "xla" (fused lax.scan) or "pallas" (ops/sw_pallas)
 
     # --- filters / selection ---
     min_identity: float = 0.65    # ref -i
@@ -134,3 +135,5 @@ class NgmConfig:
         if self.gap_extend_penalty > min(self.gap_read_penalty, self.gap_ref_penalty):
             # the banded-SW lazy-F scan trick requires open >= extend
             raise ValueError("gap_extend_penalty must be <= gap open penalties")
+        if self.sw_backend not in ("xla", "pallas"):
+            raise ValueError("sw_backend must be 'xla' or 'pallas'")

@@ -41,6 +41,7 @@ from nextgenmap_tpu.ops.gather_pallas import (
 )
 from nextgenmap_tpu.ops.kmer import extract_kmers
 from nextgenmap_tpu.ops.scoring import score_matrix
+from nextgenmap_tpu.ops.sw_pallas import banded_sw_score_pallas
 from nextgenmap_tpu.ops.sw_ref import banded_sw_align, banded_sw_score
 
 
@@ -81,7 +82,7 @@ def _candidates_and_scores(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
-    slot_cap, read_stride=1, bs=False, cs_axis=None,
+    slot_cap, read_stride=1, bs=False, sw_backend="xla", cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
@@ -182,7 +183,12 @@ def _candidates_and_scores(
     corr_s = jnp.where(slot_valid[:, None], corr_s, 4)        # [S, T]
 
     # score every real candidate (ref: IAlignment::BatchScore)
-    sres = banded_sw_score(
+    sw_fn = (
+        banded_sw_score_pallas
+        if sw_backend == "pallas" and _use_dma(W) and W % 8 == 0
+        else banded_sw_score
+    )
+    sres = sw_fn(
         q_s, len_s, corr_s, matrices,
         gopen_q, gopen_r, gext, strand_s,
         band=W,
@@ -286,7 +292,7 @@ def _finish(
 
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
-    "min_kmer_hits", "slot_cap", "read_stride", "bs", "cs_axis",
+    "min_kmer_hits", "slot_cap", "read_stride", "bs", "sw_backend", "cs_axis",
 )
 
 
@@ -295,7 +301,8 @@ def map_step(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False,
+    sw_backend="xla", cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
     slot_cap = slot_cap or 2 * reads.shape[0]
@@ -305,7 +312,8 @@ def map_step(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs, cs_axis=cs_axis,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+            sw_backend=sw_backend, cs_axis=cs_axis,
         )
     )
     a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
@@ -322,7 +330,8 @@ def map_step_topn(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, topn=2, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False,
+    sw_backend="xla", topn=2, cs_axis=None,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
 
@@ -338,7 +347,8 @@ def map_step_topn(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs, cs_axis=cs_axis,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+            sw_backend=sw_backend, cs_axis=cs_axis,
         )
     )
     proper = jnp.zeros(sw.shape[0], dtype=bool)
@@ -359,7 +369,8 @@ def map_step_paired(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, cs_axis=None,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False,
+    sw_backend="xla", cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -376,7 +387,8 @@ def map_step_paired(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs, cs_axis=cs_axis,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+            sw_backend=sw_backend, cs_axis=cs_axis,
         )
     )
     B, C = sw.shape
@@ -508,6 +520,7 @@ class Mapper:
             min_kmer_hits=max(1, cfg.kmer_min),
             read_stride=cfg.read_kmer_skip,
             bs=cfg.bs_mapping,
+            sw_backend=cfg.sw_backend,
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:

@@ -1,0 +1,77 @@
+"""Pallas SW score kernel == reference jax.lax kernel, bit-exact
+(SURVEY.md §7 M5: Pallas kernels oracle-tested against the reference impl)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nextgenmap_tpu.config import NgmConfig
+from nextgenmap_tpu.ops.scoring import score_matrix
+from nextgenmap_tpu.ops.sw_pallas import banded_sw_score_pallas
+from nextgenmap_tpu.ops.sw_ref import banded_sw_score
+
+W = 48
+
+
+def _run_both(q, lens, r, mats, msel, gaps=(20, 20, 20)):
+    args = (
+        jnp.asarray(q), jnp.asarray(lens, jnp.int32), jnp.asarray(r),
+        jnp.asarray(mats),
+        jnp.int32(gaps[0]), jnp.int32(gaps[1]), jnp.int32(gaps[2]),
+        jnp.asarray(msel, jnp.int32),
+    )
+    ref = banded_sw_score(*args, band=W)
+    pal = banded_sw_score_pallas(*args, band=W, interpret=True)
+    return ref, pal
+
+
+def _assert_equal(ref, pal):
+    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(pal.score))
+    np.testing.assert_array_equal(np.asarray(ref.end_i), np.asarray(pal.end_i))
+    np.testing.assert_array_equal(np.asarray(ref.end_o), np.asarray(pal.end_o))
+
+
+def test_pallas_score_matches_reference_random():
+    rng = np.random.default_rng(0)
+    S, L = 16, 100
+    cfg = NgmConfig()
+    mats = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
+    q = rng.integers(0, 4, (S, L)).astype(np.uint8)
+    r = rng.integers(0, 5, (S, L + W)).astype(np.uint8)
+    # plant exact matches for half the rows so real alignments exist
+    for i in range(0, S, 2):
+        o = int(rng.integers(0, W))
+        r[i, o : o + L] = q[i]
+    lens = rng.integers(20, L + 1, S).astype(np.int32)
+    msel = rng.integers(0, 2, S).astype(np.int32)
+    _assert_equal(*_run_both(q, lens, r, mats, msel))
+
+
+def test_pallas_score_odd_lengths_and_sizes():
+    rng = np.random.default_rng(1)
+    S, L = 5, 73  # non-multiples of block sizes
+    cfg = NgmConfig(match_bonus=7, mismatch_penalty=11)
+    mats = score_matrix(cfg, 0)[None]
+    q = rng.integers(0, 4, (S, L)).astype(np.uint8)
+    r = rng.integers(0, 4, (S, L + W)).astype(np.uint8)
+    r[0, 10 : 10 + L] = q[0]
+    lens = np.array([L, 0, 31, L, 8], np.int32)
+    msel = np.zeros(S, np.int32)
+    _assert_equal(*_run_both(q, lens, r, mats, msel))
+
+
+def test_pallas_score_asymmetric_gaps():
+    rng = np.random.default_rng(2)
+    S, L = 8, 64
+    cfg = NgmConfig(gap_read_penalty=25, gap_ref_penalty=30,
+                    gap_extend_penalty=12)
+    mats = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
+    q = rng.integers(0, 4, (S, L)).astype(np.uint8)
+    r = rng.integers(0, 4, (S, L + W)).astype(np.uint8)
+    for i in range(S):
+        seg = q[i, : L - 6]
+        r[i, 5 : 5 + seg.shape[0]] = seg  # near-full-length hit
+    lens = np.full(S, L, np.int32)
+    msel = rng.integers(0, 2, S).astype(np.int32)
+    _assert_equal(*_run_both(q, lens, r, mats, msel, gaps=(25, 30, 12)))
