@@ -125,10 +125,79 @@ def _window(it: Iterator[ReadRecord], skip: int, count: int) -> Iterator[ReadRec
     return itertools.islice(it, skip, stop)
 
 
+def _batch_single_native(
+    path: str, batch_size: int, read_len: int, skip: int, count: int
+) -> Iterator[ReadBatch]:
+    """Native-parser batching: C++ does the per-record char work
+    (nextgenmap_tpu/native/ngmio.cpp, reference analog kseq.h)."""
+    from nextgenmap_tpu import native
+
+    CHUNK = 8 << 20
+    emitted = 0
+    codes = np.full((batch_size, read_len), PAD, np.uint8)
+    lengths = np.zeros(batch_size, np.int32)
+    names: list[str] = [""] * batch_size
+    quals: list[bytes | None] = [None] * batch_size
+    fill = 0
+
+    with _open_text(path) as f:
+        tail = b""
+        eof = False
+        while not eof or tail:
+            chunk = f.read(CHUNK) if not eof else b""
+            if not chunk:
+                eof = True
+            buf = tail + chunk
+            if not buf:
+                break
+            n, c, ln, nm, ql, used = native.parse_reads(
+                buf, eof, batch_size - fill, read_len
+            )
+            if n == 0 and used == 0 and eof:
+                break
+            tail = buf[used:]
+            if (
+                fill == 0 and skip == 0 and n == batch_size
+                and not (count and emitted + n > count)
+            ):
+                # steady-state fast path: the parsed arrays ARE the batch
+                yield ReadBatch(c, ln, nm, ql, n=n)
+                emitted += n
+                continue
+            for i in range(n):
+                if skip > 0:
+                    skip -= 1
+                    continue
+                if count and emitted >= count:
+                    tail = b""
+                    eof = True
+                    break
+                codes[fill] = c[i]
+                lengths[fill] = ln[i]
+                names[fill] = nm[i]
+                quals[fill] = ql[i]
+                fill += 1
+                emitted += 1
+                if fill == batch_size:
+                    yield ReadBatch(codes, lengths, names, quals, n=fill)
+                    codes = np.full((batch_size, read_len), PAD, np.uint8)
+                    lengths = np.zeros(batch_size, np.int32)
+                    names = [""] * batch_size
+                    quals = [None] * batch_size
+                    fill = 0
+    if fill:
+        yield ReadBatch(codes, lengths, names, quals, n=fill)
+
+
 def batch_single(
     path: str, batch_size: int, read_len: int, skip: int = 0, count: int = 0
 ) -> Iterator[ReadBatch]:
     """Single-end: pack reads into [B, L] batches (last one padded)."""
+    from nextgenmap_tpu import native
+
+    if native.lib() is not None:
+        yield from _batch_single_native(path, batch_size, read_len, skip, count)
+        return
     buf: list[ReadRecord] = []
     for rec in _window(iter_reads(path), skip, count):
         buf.append(rec)

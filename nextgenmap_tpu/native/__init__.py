@@ -1,0 +1,173 @@
+"""On-demand-compiled native host IO (see ngmio.cpp).
+
+`lib()` compiles ngmio.cpp with g++ on first use (cached next to the source,
+keyed by source hash) and returns a ctypes handle, or None when no toolchain
+is available — callers fall back to the pure-Python paths, which produce
+byte-identical output (asserted by tests/test_native_io.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+from nextgenmap_tpu.utils.logging import get_logger
+
+log = get_logger("ngm-tpu.native")
+
+_SRC = os.path.join(os.path.dirname(__file__), "ngmio.cpp")
+_LIB = None
+_TRIED = False
+
+
+def lib():
+    """ctypes CDLL of the native helpers, or None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("NGMTPU_NO_NATIVE"):
+        return None
+    try:
+        src = open(_SRC, "rb").read()
+        tag = hashlib.sha1(src).hexdigest()[:12]
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "ngm-tpu",
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"ngmio-{tag}.so")
+        if not os.path.exists(so_path):
+            with tempfile.TemporaryDirectory() as td:
+                tmp_so = os.path.join(td, "ngmio.so")
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     _SRC, "-o", tmp_so],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp_so, so_path)
+            log.info("built native IO helpers: %s", so_path)
+        L = ctypes.CDLL(so_path)
+        L.ngm_parse_reads.restype = ctypes.c_int
+        L.ngm_format_sam.restype = ctypes.c_int64
+        _LIB = L
+    except (OSError, subprocess.CalledProcessError) as e:
+        log.warning("native IO unavailable (%s); using Python paths", e)
+        _LIB = None
+    return _LIB
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def parse_reads(buf: bytes, final: bool, max_reads: int, lmax: int):
+    """Parse up to max_reads records from a text chunk via the native parser.
+
+    Returns (n, codes [max,Lmax] u8, lengths i32, names list[str],
+    quals list[bytes|None], consumed_bytes).
+    """
+    L = lib()
+    assert L is not None
+    codes = np.empty((max_reads, lmax), np.uint8)
+    lengths = np.empty(max_reads, np.int32)
+    name_cap = max_reads * 256 + 16
+    qual_cap = max_reads * (lmax + 1) + 16
+    name_arena = np.empty(name_cap, np.uint8)
+    qual_arena = np.empty(qual_cap, np.uint8)
+    name_off = np.empty(max_reads, np.int64)
+    qual_off = np.empty(max_reads, np.int64)
+    consumed = ctypes.c_int64(0)
+    n = L.ngm_parse_reads(
+        buf, ctypes.c_int64(len(buf)), ctypes.c_int(1 if final else 0),
+        ctypes.c_int(max_reads), ctypes.c_int(lmax),
+        _ptr(codes), _ptr(lengths),
+        _ptr(name_arena), ctypes.c_int64(name_cap), _ptr(name_off),
+        _ptr(qual_arena), ctypes.c_int64(qual_cap), _ptr(qual_off),
+        ctypes.byref(consumed),
+    )
+    names, quals = [], []
+    nb = name_arena.tobytes()
+    qb = qual_arena.tobytes()
+    for i in range(n):
+        o = int(name_off[i])
+        names.append(nb[o : nb.index(b"\x00", o)].decode("ascii"))
+        o = int(qual_off[i])
+        q = qb[o : qb.index(b"\x00", o)]
+        quals.append(q if q else None)
+    return n, codes, lengths, names, quals, int(consumed.value)
+
+
+def format_sam(
+    names: list[str], aligned_codes: np.ndarray, read_len: np.ndarray,
+    quals: list[bytes | None], qual_rev: np.ndarray,
+    flag: np.ndarray, chrom_pos: np.ndarray, rnames: list[str],
+    mapq: np.ndarray, score: np.ndarray,
+    ops: np.ndarray, n_ops: np.ndarray,
+    q_start: np.ndarray, q_end: np.ndarray,
+    genome_codes: np.ndarray, gpos_abs: np.ndarray,
+    rnexts: list[str], pnext: np.ndarray, tlen: np.ndarray,
+    identity: np.ndarray, rg_suffix: str, hard_clip: bool,
+) -> bytes:
+    """Format n mapped records into one SAM text blob via the native writer."""
+    L = lib()
+    assert L is not None
+    n = len(names)
+
+    def arena(strings):
+        offs = np.empty(n, np.int64)
+        parts = []
+        pos = 0
+        for i, s in enumerate(strings):
+            b = (s.encode("ascii") if isinstance(s, str) else (s or b"")) + b"\x00"
+            offs[i] = pos
+            parts.append(b)
+            pos += len(b)
+        return b"".join(parts), offs
+
+    name_a, name_o = arena(names)
+    qual_a, qual_o = arena(quals)
+    rname_a, rname_o = arena(rnames)
+    rnext_a, rnext_o = arena(rnexts)
+
+    lmax = aligned_codes.shape[1]
+    cap = max(1 << 16, n * (2 * lmax + ops.shape[1] * 4 + 320))
+    for _ in range(4):
+        out = ctypes.create_string_buffer(cap)
+        wrote = L.ngm_format_sam(
+            ctypes.c_int(n),
+            name_a, _ptr(name_o),
+            _ptr(np.ascontiguousarray(aligned_codes, np.uint8)),
+            _ptr(np.ascontiguousarray(read_len, np.int32)),
+            ctypes.c_int(lmax),
+            qual_a, _ptr(qual_o),
+            _ptr(np.ascontiguousarray(qual_rev, np.uint8)),
+            _ptr(np.ascontiguousarray(flag, np.int32)),
+            _ptr(np.zeros(n, np.int32)),  # chrom_idx (unused; rnames given)
+            _ptr(np.ascontiguousarray(chrom_pos, np.int64)),
+            rname_a, _ptr(rname_o),
+            _ptr(np.ascontiguousarray(mapq, np.int32)),
+            _ptr(np.ascontiguousarray(score, np.int32)),
+            _ptr(np.ascontiguousarray(ops, np.uint8)),
+            _ptr(np.ascontiguousarray(n_ops, np.int32)),
+            ctypes.c_int(ops.shape[1]),
+            _ptr(np.ascontiguousarray(q_start, np.int32)),
+            _ptr(np.ascontiguousarray(q_end, np.int32)),
+            _ptr(np.ascontiguousarray(genome_codes, np.uint8)),
+            _ptr(np.ascontiguousarray(gpos_abs, np.int64)),
+            rnext_a, _ptr(rnext_o),
+            _ptr(np.ascontiguousarray(pnext, np.int64)),
+            _ptr(np.ascontiguousarray(tlen, np.int64)),
+            _ptr(np.ascontiguousarray(identity, np.float32)),
+            rg_suffix.encode("ascii"), ctypes.c_int(1 if hard_clip else 0),
+            out, ctypes.c_int64(cap),
+        )
+        if wrote >= 0:
+            return out.raw[:wrote]
+        cap *= 4
+    raise RuntimeError("native SAM formatting buffer overflow")

@@ -50,9 +50,91 @@ def load_reference(cfg: NgmConfig, ref_path: str):
     return genome, try_load("none")
 
 
+def _emit_single_native(writer: SamWriter, batch: ReadBatch, res: MapResult,
+                        stats: MappingStats) -> None:
+    """Native-formatter batch emission (nextgenmap_tpu/native/ngmio.cpp,
+    reference analog SAMWriter.cpp): one C call formats every mapped record;
+    Python only interleaves the (rare) unmapped lines to keep input order."""
+    from nextgenmap_tpu import native
+
+    mapped = np.asarray(res.mapped)
+    strand = np.asarray(res.strand)
+    pos = np.asarray(res.pos).astype(np.int64)
+    n = batch.n
+    stats.kmer_fanout_overflow += int(res.fanout_overflow)
+    stats.cmr_overflow += int(res.cmr_overflow)
+    stats.reads_in += n
+    midx = np.nonzero(mapped[:n])[0]
+    stats.reads_mapped += midx.size
+    stats.reads_unmapped += n - midx.size
+
+    blob_lines: list[bytes] = []
+    if midx.size:
+        genome = writer.genome
+        codes = batch.codes[:n]
+        rc = np.where(codes < 4, 3 - codes.astype(np.int16), codes)[:, ::-1]
+        aligned = np.where(
+            (strand[:n] == 1)[:, None], rc, codes
+        ).astype(np.uint8)
+        # short reads: rc rows are left-padded after the flip; shift them
+        lens = batch.lengths[:n]
+        short = (lens < batch.read_len) & (strand[:n] == 1)
+        for i in np.nonzero(short)[0]:
+            L = int(lens[i])
+            aligned[i, :L] = aligned[i, batch.read_len - L:]
+            aligned[i, L:] = 4
+        ci, cp = genome.abs_to_chrom(pos[midx])
+        ci = np.atleast_1d(ci)
+        cp = np.atleast_1d(cp)
+        n_ops = np.asarray(res.n_ops)[midx]
+        matches = np.asarray(res.matches)[midx]
+        ident = matches.astype(np.float32) / np.maximum(1, n_ops)
+        blob = native.format_sam(
+            names=[batch.names[i] for i in midx],
+            aligned_codes=aligned[midx],
+            read_len=lens[midx],
+            quals=[batch.quals[i] for i in midx],
+            qual_rev=strand[midx].astype(np.uint8),
+            flag=(strand[midx] * 16).astype(np.int32),
+            chrom_pos=cp.astype(np.int64),
+            rnames=[genome.names[int(c)] for c in ci],
+            mapq=np.asarray(res.mapq)[midx],
+            score=np.asarray(res.score)[midx],
+            ops=np.asarray(res.ops)[midx],
+            n_ops=n_ops,
+            q_start=np.asarray(res.q_start)[midx],
+            q_end=np.asarray(res.q_end)[midx],
+            genome_codes=genome.codes,
+            gpos_abs=pos[midx],
+            rnexts=["*"] * midx.size,
+            pnext=np.zeros(midx.size, np.int64),
+            tlen=np.zeros(midx.size, np.int64),
+            identity=ident,
+            rg_suffix=writer._tags_suffix(),
+            hard_clip=writer.cfg.hard_clip,
+        )
+        if midx.size == n:
+            writer.out.write(blob.decode("ascii"))
+            return
+        blob_lines = blob.splitlines(keepends=True)
+
+    it = iter(blob_lines)
+    for i in range(n):
+        if mapped[i]:
+            writer.out.write(next(it).decode("ascii"))
+        else:
+            L = int(batch.lengths[i])
+            writer.write_unmapped(batch.names[i], batch.codes[i, :L],
+                                  batch.quals[i])
+
+
 def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,
                 stats: MappingStats) -> None:
     """Write one single-end batch's records in input order."""
+    from nextgenmap_tpu import native
+
+    if native.lib() is not None:
+        return _emit_single_native(writer, batch, res, stats)
     mapped = np.asarray(res.mapped)
     strand = np.asarray(res.strand)
     pos = np.asarray(res.pos)
