@@ -90,6 +90,8 @@ def build_parser():
 
         g = sp.add_argument_group("runtime")
         g.add_argument("-t", "--threads", type=int, default=D.threads)
+        g.add_argument("--devices", type=int, default=D.devices,
+                       help="devices for data-parallel mapping (0 = all)")
         g.add_argument("--batch-size", type=int, default=D.batch_size)
         g.add_argument("--read-len", type=int, default=0,
                        help="static padded read length (0 = infer)")
@@ -102,6 +104,9 @@ def build_parser():
         g.add_argument("--resume", action="store_true",
                        help="continue an interrupted run from its "
                             "<out>.ngmt-progress.json checkpoint")
+        g.add_argument("--profile", metavar="DIR", default="",
+                       help="capture a jax.profiler (Perfetto/XProf) trace "
+                            "of the mapping loop into DIR")
 
     map_p = sub.add_parser("map", help="map reads (default verb)")
     add_common(map_p)
@@ -139,6 +144,7 @@ def config_from_args(a) -> NgmConfig:
         rg_pu=a.rg_pu, bam=a.bam,
         batch_size=a.batch_size, read_len=a.read_len, corridor=a.corridor,
         skip_save=a.skip_save, no_progress=a.no_progress, threads=a.threads,
+        devices=a.devices,
         qry_start=a.qry_start, qry_count=a.qry_count,
     )
 
@@ -181,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
         out_path=a.output,
         cmdline=shlex.join(["ngm-tpu"] + argv),
         resume=a.resume,
+        profile_dir=a.profile,
     )
     log.info("exit: %s", stats.summary())
     return 0

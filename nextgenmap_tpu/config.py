@@ -85,6 +85,8 @@ class NgmConfig:
     skip_save: bool = False       # don't memoize index artifacts
     no_progress: bool = False
     threads: int = 1              # host IO threads (device work is bulk-synchronous)
+    devices: int = 1              # devices for data-parallel mapping (0 = all);
+                                  # the dp analog of the reference's -t workers
     qry_start: int = 0            # skip the first N input reads (ref --qry-start)
     qry_count: int = 0            # map at most N reads, 0 = all (ref --qry-count)
 

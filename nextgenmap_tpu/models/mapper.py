@@ -499,6 +499,21 @@ class Mapper:
         )
         self.band = self.cfg.corridor_for(self.read_len)
 
+        # data parallelism over devices (the dp analog of reference -t):
+        # shard_map over a 1-D mesh; genome/index/matrices replicated
+        self.n_devices = self.cfg.devices or len(jax.devices())
+        if self.n_devices > 1:
+            from nextgenmap_tpu.parallel.dp import make_dp_map_step
+            from nextgenmap_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(self.n_devices)
+            self._dp_single = make_dp_map_step(
+                self._mesh, paired=False, **self._statics()
+            )
+            self._dp_paired = make_dp_map_step(
+                self._mesh, paired=True, **self._statics()
+            )
+
     def _common_args(self, codes, lengths):
         cfg = self.cfg
         return (
@@ -524,6 +539,8 @@ class Mapper:
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
+        if self.n_devices > 1:
+            return self._dp_single(*self._common_args(codes, lengths))
         return map_step(*self._common_args(codes, lengths), **self._statics())
 
     def map_batch_topn(self, codes: np.ndarray, lengths: np.ndarray) -> tuple:
@@ -535,9 +552,12 @@ class Mapper:
 
     def map_batch_paired(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         cfg = self.cfg
-        return map_step_paired(
-            *self._common_args(codes, lengths),
+        pair_args = (
             jnp.int32(cfg.min_insert_size), jnp.int32(cfg.max_insert_size),
             jnp.float32(cfg.pair_score_cutoff),
-            **self._statics(),
+        )
+        if self.n_devices > 1:
+            return self._dp_paired(*self._common_args(codes, lengths), *pair_args)
+        return map_step_paired(
+            *self._common_args(codes, lengths), *pair_args, **self._statics(),
         )

@@ -225,6 +225,7 @@ def run_mapping(
     out_path: str | None = None,
     cmdline: str = "",
     resume: bool = False,
+    profile_dir: str = "",
 ) -> MappingStats:
     """Map reads end-to-end.
 
@@ -239,6 +240,19 @@ def run_mapping(
     import os
 
     cfg.validate()
+    # data-parallel mapping needs the batch divisible by 2 * n_devices
+    # (pairs must not straddle device shards); normalize BEFORE the config
+    # hash so resume stays consistent
+    import jax as _jax
+
+    ndev = cfg.devices or len(_jax.devices())
+    if ndev > 1:
+        m = 2 * ndev
+        bs = ((cfg.batch_size + m - 1) // m) * m
+        if bs != cfg.batch_size:
+            log.info("batch_size %d -> %d (multiple of 2 x %d devices)",
+                     cfg.batch_size, bs, ndev)
+            cfg = cfg.replace(batch_size=bs)
     genome, index = load_reference(cfg, ref_path)
 
     first_file = qry or qry1
@@ -313,6 +327,11 @@ def run_mapping(
     paired = qry1 is not None or paired_interleaved
     t0 = time.time()
     stats.start_time = t0
+    # tracing/profiling (SURVEY.md §5.1): the mapping loop is wrapped in a
+    # jax.profiler trace viewable in Perfetto/XProf
+    import jax as _jx
+    if profile_dir:
+        _jx.profiler.start_trace(profile_dir)
     if not paired:
         topn = max(1, cfg.topn)
         batches = batch_single(qry, cfg.batch_size, read_len, skip, count)
@@ -349,6 +368,9 @@ def run_mapping(
                     "processed %d reads (%.0f reads/s, %.2f GCUPS)",
                     stats.reads_in, stats.reads_per_sec(), stats.gcups(),
                 )
+    if profile_dir:
+        _jx.profiler.stop_trace()
+        log.info("profiler trace written to %s", profile_dir)
     if cfg.bam or out_path not in (None, "-"):
         out.close()
     save_progress(complete=True)

@@ -160,3 +160,12 @@ def test_mapq_zero_for_ambiguous(e2e_dir, tmp_path):
     assert int(recs[0][4]) == 0  # ambiguous => MAPQ 0
     # DESIGN rule 11: ties resolve to the smaller position
     assert int(recs[0][3]) - 1 == 500
+
+
+def test_multi_device_dp_identical(e2e_dir):
+    """--devices N (dp shard_map over the CPU mesh) must be record-identical
+    to the single-device run (DESIGN.md rule 14/15)."""
+    one = run_map(e2e_dir, "reads.fq", "dp1.sam")
+    four = run_map(e2e_dir, "reads.fq", "dp4.sam", ("--devices", "4"))
+    strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
+    assert strip(one) == strip(four)
