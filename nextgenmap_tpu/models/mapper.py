@@ -35,7 +35,7 @@ from nextgenmap_tpu.config import NgmConfig
 from nextgenmap_tpu.index.genome import Genome
 from nextgenmap_tpu.index.kmer_index import KmerIndex
 from nextgenmap_tpu.ops.candidate import candidate_search_dual
-from nextgenmap_tpu.ops.gather import gather_windows, pad_table
+from nextgenmap_tpu.ops.gather import gather_windows, pad_table, permute_small
 from nextgenmap_tpu.ops.gather_pallas import (
     MAX_WINDOW, as_dma_table, dma_gather_windows,
 )
@@ -140,9 +140,9 @@ def _candidates_and_scores(
         cand_valid, strand * (2**30) + corr_start, 2**31 - 1
     )
     order = jnp.argsort(order_key, axis=1)
-    corr_start = jnp.take_along_axis(corr_start, order, axis=1)
-    strand = jnp.take_along_axis(strand, order, axis=1)
-    cand_valid = jnp.take_along_axis(cand_valid, order, axis=1)
+    corr_start = permute_small(corr_start, order)
+    strand = permute_small(strand, order)
+    cand_valid = permute_small(cand_valid.astype(jnp.int32), order) == 1
 
     # ---- batch-wide candidate compaction (DESIGN.md rule 8b) ----
     # valid candidates are a per-read prefix; assign each a flat slot

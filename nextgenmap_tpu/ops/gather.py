@@ -52,6 +52,21 @@ def pad_table(table: jax.Array, size: int, fill) -> jax.Array:
     )
 
 
+def permute_small(values: jax.Array, order: jax.Array) -> jax.Array:
+    """values[b, order[b, i]] for small trailing dims, without a gather.
+
+    [B, C] x [B, C] -> [B, C] via a one-hot select-sum (C^2 VPU work per
+    row beats TPU's ~40ns/element gather for C up to a few hundred).
+    """
+    B, C = values.shape
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, C, C), 2) == order[:, :, None]
+    )
+    return jnp.sum(
+        jnp.where(onehot, values[:, None, :], 0), axis=2
+    ).astype(values.dtype)
+
+
 def select_rows(stack: jax.Array, sel: jax.Array) -> jax.Array:
     """stack[b, sel[b], :] without an element-serial gather.
 
