@@ -33,8 +33,8 @@ from nextgenmap_tpu.ops.scoring import score_matrix
 
 GENOME_SIZE = 4_600_000   # E. coli K-12 scale
 READ_LEN = 100
-BATCH = 2048
-N_BATCHES = 24            # 49k reads timed
+BATCH = 4096
+N_BATCHES = 12            # 49k reads timed
 SNP_RATE = 0.02
 BASELINE_READS_PER_SEC = 15_000.0
 
@@ -64,7 +64,8 @@ def main() -> None:
     mats = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
     band = cfg.corridor_for(READ_LEN)
     statics = dict(
-        k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, hit_cap=cfg.max_read_hits,
+        k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout,
+        hit_cap=cfg.resolved_read_hits(int(pos_d.shape[0]), READ_LEN),
         max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
     )

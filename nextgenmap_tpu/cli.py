@@ -56,7 +56,8 @@ def build_parser():
         g.add_argument("--kmer-min", type=int, default=D.kmer_min)
         g.add_argument("--max-freq", type=int, default=D.max_kmer_freq)
         g.add_argument("--max-cmrs", type=int, default=D.max_cmrs)
-        g.add_argument("--max-read-hits", type=int, default=D.max_read_hits)
+        g.add_argument("--max-read-hits", type=int, default=D.max_read_hits,
+                       help="per-read index-hit cap (0 = auto from genome size)")
 
         g = sp.add_argument_group("sensitivity/filters")
         g.add_argument("-s", "--sensitivity", type=float, default=D.sensitivity)
@@ -92,6 +93,10 @@ def build_parser():
         g.add_argument("-t", "--threads", type=int, default=D.threads)
         g.add_argument("--devices", type=int, default=D.devices,
                        help="devices for data-parallel mapping (0 = all)")
+        g.add_argument("-g", "--gpu", metavar="IDS", default=None,
+                       help="reference-compatible accelerator selector "
+                            "(comma-separated ids); maps to TPU chips: "
+                            "'-g 0,1' = data-parallel over 2 devices")
         g.add_argument("--batch-size", type=int, default=D.batch_size)
         g.add_argument("--read-len", type=int, default=0,
                        help="static padded read length (0 = infer)")
@@ -108,6 +113,17 @@ def build_parser():
                        help="capture a jax.profiler (Perfetto/XProf) trace "
                             "of the mapping loop into DIR")
 
+        g = sp.add_argument_group(
+            "multi-host", "run one process per host with the same command "
+            "+ its --dist-procid; process 0 merges the output shards")
+        g.add_argument("--dist-nprocs", type=int, default=D.dist_nprocs)
+        g.add_argument("--dist-procid", type=int, default=D.dist_procid)
+        g.add_argument("--dist-coordinator", default="",
+                       help="host:port for jax.distributed.initialize "
+                            "(only needed for cross-host collectives)")
+        g.add_argument("--no-merge", action="store_true",
+                       help="leave per-host .part outputs unmerged")
+
     map_p = sub.add_parser("map", help="map reads (default verb)")
     add_common(map_p)
     idx_p = sub.add_parser("index", help="build (and memoize) the index only")
@@ -120,6 +136,11 @@ def build_parser():
 
 
 def config_from_args(a) -> NgmConfig:
+    devices = a.devices
+    if getattr(a, "gpu", None):
+        # ref -g takes explicit device ids; on TPU the mesh uses the first N
+        # local chips, so only the COUNT carries over
+        devices = len([x for x in a.gpu.split(",") if x != ""])
     rks = a.read_kmer_skip
     if rks is None:
         # reference-style genome striding (--kmer-skip > 1) implies stride-1
@@ -144,8 +165,10 @@ def config_from_args(a) -> NgmConfig:
         rg_pu=a.rg_pu, bam=a.bam,
         batch_size=a.batch_size, read_len=a.read_len, corridor=a.corridor,
         skip_save=a.skip_save, no_progress=a.no_progress, threads=a.threads,
-        devices=a.devices,
+        devices=devices,
         qry_start=a.qry_start, qry_count=a.qry_count,
+        dist_nprocs=a.dist_nprocs, dist_procid=a.dist_procid,
+        dist_coordinator=a.dist_coordinator, no_merge=a.no_merge,
     )
 
 

@@ -38,8 +38,12 @@ class NgmConfig:
                                   # higher => stricter threshold => fewer candidates (faster)
     max_cmrs: int = 32            # static cap on candidate regions per read/strand (ref --max-cmrs)
     max_kmer_fanout: int = 32     # static cap K on positions gathered per k-mer lookup
-    max_read_hits: int = 256      # static cap H on total index hits compacted
-                                  # per read (both strands); overflow counted
+    max_read_hits: int = 0        # static cap H on total index hits compacted
+                                  # per read (both strands); overflow counted.
+                                  # 0 = auto from genome/index size (see
+                                  # resolved_read_hits) — measured on v5e,
+                                  # H dominates CS cost, so size it to the
+                                  # genome instead of worst-casing
     diag_bin_log2: int = 4        # diagonal bucket width = 2**this (16bp bins)
 
     # --- scoring (ref defaults: match 10, mismatch 15, gaps 20/20/20) ---
@@ -79,7 +83,8 @@ class NgmConfig:
     bam: bool = False
 
     # --- runtime / batching ---
-    batch_size: int = 2048        # reads per device step
+    batch_size: int = 4096        # reads per device step (v5e sweet spot:
+                                  # 4096 beats 2048 by ~8% reads/s)
     read_len: int = 0             # 0 = infer from input; padded static length
     corridor: int = 0             # 0 = derive from read length
     skip_save: bool = False       # don't memoize index artifacts
@@ -89,6 +94,17 @@ class NgmConfig:
                                   # the dp analog of the reference's -t workers
     qry_start: int = 0            # skip the first N input reads (ref --qry-start)
     qry_count: int = 0            # map at most N reads, 0 = all (ref --qry-count)
+
+    # --- multi-host (new capability; SURVEY.md §2.3/§5.8 — reference is
+    # single-node).  Launch one process per host with the same command plus
+    # its --dist-procid; reads are round-robin batch-sharded, outputs merged
+    # deterministically by process 0 (parallel/distributed.py).
+    dist_nprocs: int = 1          # total processes (hosts) in the job
+    dist_procid: int = 0          # this process's id [0, nprocs)
+    dist_coordinator: str = ""    # host:port for jax.distributed (only needed
+                                  # for cross-host collectives, e.g. a
+                                  # pod-sharded index); empty = no global runtime
+    no_merge: bool = False        # leave per-host .part files unmerged
 
     # ------------------------------------------------------------------
     def corridor_for(self, read_len: int) -> int:
@@ -104,6 +120,24 @@ class NgmConfig:
             return bucket_span + _round_up(self.corridor, 8)
         slack = max(16, _round_up(int(read_len * 0.15), 8))
         return bucket_span + slack
+
+    def resolved_read_hits(self, n_positions: int, read_len: int) -> int:
+        """Static per-read hit cap H (0 = derive from index density).
+
+        Expected CSR row length is positions/4^k; a read enumerates
+        kmers_per_read rows, each capped at max_kmer_fanout.  2x the
+        expectation covers repeat-rich loci; the [128, 512] clamp keeps the
+        compaction tensors lane-friendly.  Overflow is always counted
+        (MappingStats.kmer_fanout_overflow), so a too-small H is visible,
+        never silent.
+        """
+        if self.max_read_hits:
+            return self.max_read_hits
+        exp_row = max(1.0, n_positions / float(4 ** self.kmer))
+        est = self.kmers_per_read(read_len) * min(
+            float(self.max_kmer_fanout), 2.0 * exp_row
+        )
+        return max(128, min(512, _round_up(int(est), 64)))
 
     def kmers_per_read(self, read_len: int) -> int:
         return max(1, (read_len - self.kmer) // self.read_kmer_skip + 1)
@@ -139,3 +173,5 @@ class NgmConfig:
             raise ValueError("gap_extend_penalty must be <= gap open penalties")
         if self.sw_backend not in ("xla", "pallas"):
             raise ValueError("sw_backend must be 'xla' or 'pallas'")
+        if self.dist_nprocs < 1 or not (0 <= self.dist_procid < self.dist_nprocs):
+            raise ValueError("need dist_nprocs >= 1 and 0 <= dist_procid < nprocs")

@@ -35,14 +35,20 @@ _OP_SYM = {OP_M: "M", OP_I: "I", OP_D: "D"}
 
 
 def cigar_string(ops_end_to_start, n_ops: int, q_start: int, q_end: int,
-                 read_len: int, hard_clip: bool = False) -> str:
-    """RLE the device op buffer (END->START order) into a CIGAR with clips."""
+                 read_len: int, hard_clip: bool = False,
+                 silent_clip: bool = False) -> str:
+    """RLE the device op buffer (END->START order) into a CIGAR with clips.
+
+    Clip rendering mirrors the reference's three modes (SURVEY.md §2.1):
+    default soft (S, full SEQ), --hard-clip (H, trimmed SEQ), --silent-clip
+    (trimmed SEQ but NO clip ops in the CIGAR at all).
+    """
     if n_ops == 0:
         return "*"
     ops = ops_end_to_start[:n_ops][::-1]
     clip = "H" if hard_clip else "S"
     parts: list[str] = []
-    if q_start > 0:
+    if q_start > 0 and not silent_clip:
         parts.append(f"{q_start}{clip}")
     i = 0
     while i < n_ops:
@@ -52,7 +58,7 @@ def cigar_string(ops_end_to_start, n_ops: int, q_start: int, q_end: int,
         parts.append(f"{j - i}{_OP_SYM[int(ops[i])]}")
         i = j
     tail = read_len - 1 - q_end
-    if tail > 0:
+    if tail > 0 and not silent_clip:
         parts.append(f"{tail}{clip}")
     return "".join(parts)
 
@@ -179,12 +185,14 @@ class SamWriter:
         chrom_idx, chrom_pos = self.genome.abs_to_chrom(pos_abs)
         rname = self.genome.names[int(chrom_idx)]
         flag = (FLAG_REVERSE if strand else 0) | flag_extra
-        cigar = cigar_string(ops, n_ops, q_start, q_end, read_len, self.cfg.hard_clip)
+        cigar = cigar_string(ops, n_ops, q_start, q_end, read_len,
+                             self.cfg.hard_clip, self.cfg.silent_clip)
         # ref span consumed = M + D columns
         ref_len = int(np.sum(ops[:n_ops] != OP_I))
         ref_slice = self.genome.extract(pos_abs, ref_len)
         md, nm = md_and_nm(ops, n_ops, aligned_query, q_start, ref_slice, 0)
-        if self.cfg.hard_clip:
+        trim = self.cfg.hard_clip or self.cfg.silent_clip
+        if trim:
             seq_codes = aligned_query[q_start : q_end + 1]
         else:
             seq_codes = aligned_query
@@ -193,7 +201,7 @@ class SamWriter:
             qs = qual.decode("ascii")
             if strand:
                 qs = qs[::-1]
-            if self.cfg.hard_clip:
+            if trim:
                 qs = qs[q_start : q_end + 1]
         else:
             qs = "*"

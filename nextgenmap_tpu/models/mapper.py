@@ -82,7 +82,8 @@ def _candidates_and_scores(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
-    slot_cap, read_stride=1, bs=False, sw_backend="xla", cs_axis=None,
+    slot_cap, read_stride=1, bs=False, bs_cutoff=0, sw_backend="xla",
+    cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
@@ -108,7 +109,8 @@ def _candidates_and_scores(
     # an original-bottom-strand read shows G->A vs the fwd genome) and looks
     # up the second, GA-collapsed CSR table
     km_f, ok_f = extract_kmers(
-        reads, lengths, k, stride=read_stride, collapse="ct" if bs else "none"
+        reads, lengths, k, stride=read_stride,
+        collapse="ct" if bs else "none", max_collapsed=bs_cutoff if bs else 0,
     )
     # the rc flip moves right-padding to the front for reads shorter than L;
     # shift each rc row left by (L - length) so rc reads start at column 0
@@ -118,7 +120,8 @@ def _candidates_and_scores(
         jnp.pad(rc, ((0, 0), (0, L)), constant_values=4), idx, axis=1
     )
     km_r, ok_r = extract_kmers(
-        rc, lengths, k, stride=read_stride, collapse="ga" if bs else "none"
+        rc, lengths, k, stride=read_stride,
+        collapse="ga" if bs else "none", max_collapsed=bs_cutoff if bs else 0,
     )
 
     cand = candidate_search_dual(
@@ -292,7 +295,8 @@ def _finish(
 
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
-    "min_kmer_hits", "slot_cap", "read_stride", "bs", "sw_backend", "cs_axis",
+    "min_kmer_hits", "slot_cap", "read_stride", "bs", "bs_cutoff",
+    "sw_backend", "cs_axis",
 )
 
 
@@ -301,7 +305,7 @@ def map_step(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
@@ -312,7 +316,7 @@ def map_step(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
             sw_backend=sw_backend, cs_axis=cs_axis,
         )
     )
@@ -330,7 +334,7 @@ def map_step_topn(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", topn=2, cs_axis=None,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
@@ -347,7 +351,7 @@ def map_step_topn(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
             sw_backend=sw_backend, cs_axis=cs_axis,
         )
     )
@@ -369,7 +373,7 @@ def map_step_paired(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
@@ -387,7 +391,7 @@ def map_step_paired(
             gopen_q, gopen_r, gext, sensitivity, max_freq,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+            slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
             sw_backend=sw_backend, cs_axis=cs_axis,
         )
     )
@@ -498,10 +502,12 @@ class Mapper:
             np.stack([score_matrix(self.cfg, 0), score_matrix(self.cfg, 1)])
         )
         self.band = self.cfg.corridor_for(self.read_len)
+        n_pos = self._pos_dev.shape[0] // (2 if self.cfg.bs_mapping else 1)
+        self.hit_cap = self.cfg.resolved_read_hits(n_pos, self.read_len)
 
         # data parallelism over devices (the dp analog of reference -t):
         # shard_map over a 1-D mesh; genome/index/matrices replicated
-        self.n_devices = self.cfg.devices or len(jax.devices())
+        self.n_devices = self.cfg.devices or len(jax.local_devices())
         if self.n_devices > 1:
             from nextgenmap_tpu.parallel.dp import make_dp_map_step
             from nextgenmap_tpu.parallel.mesh import make_mesh
@@ -530,11 +536,12 @@ class Mapper:
         cfg = self.cfg
         return dict(
             k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout,
-            hit_cap=cfg.max_read_hits, max_cmrs=cfg.max_cmrs,
+            hit_cap=self.hit_cap, max_cmrs=cfg.max_cmrs,
             diag_bin_log2=cfg.diag_bin_log2, band=self.band,
             min_kmer_hits=max(1, cfg.kmer_min),
             read_stride=cfg.read_kmer_skip,
             bs=cfg.bs_mapping,
+            bs_cutoff=cfg.bs_cutoff,
             sw_backend=cfg.sw_backend,
         )
 

@@ -35,9 +35,9 @@ def collapse_codes(c: jax.Array, collapse: str) -> jax.Array:
     return c
 
 
-@partial(jax.jit, static_argnames=("k", "stride", "collapse"))
+@partial(jax.jit, static_argnames=("k", "stride", "collapse", "max_collapsed"))
 def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1,
-                  collapse: str = "none"):
+                  collapse: str = "none", max_collapsed: int = 0):
     """Rolling k-mer values for a read batch.
 
     Args:
@@ -47,6 +47,10 @@ def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1,
          fine up to 4^15 < 2^31).
       stride: read-side enumeration stride (static).
       collapse: "none" | "ct" (hash C as T) | "ga" (hash G as A).
+      max_collapsed: bisulfite --bs-cutoff — drop k-mers with more than this
+        many collapsed bases (C for "ct", G for "ga"): after collapsing they
+        carry too little sequence information and only fan out to repeats.
+        0 = no limit.
 
     Returns:
       (kmers [B, Q] int32, valid [B, Q] bool) with Q = (L-k)//stride + 1.
@@ -54,13 +58,23 @@ def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1,
     """
     B, L = codes.shape
     Q = max(1, (L - k) // stride + 1)
-    c = collapse_codes(codes.astype(jnp.int32), collapse)
+    c0 = codes.astype(jnp.int32)
+    c = collapse_codes(c0, collapse)
+    collapsed_from = {"ct": CODE_C, "ga": CODE_G}.get(collapse)
     vals = jnp.zeros((B, Q), dtype=jnp.int32)
     ok = jnp.ones((B, Q), dtype=bool)
+    ncoll = jnp.zeros((B, Q), dtype=jnp.int32)
     for j in range(k):
         w = jax.lax.slice(c, (0, j), (B, j + (Q - 1) * stride + 1), (1, stride))
         vals = (vals << 2) | (w & 3)
         ok &= w < 4
+        if collapsed_from is not None and max_collapsed > 0:
+            w0 = jax.lax.slice(
+                c0, (0, j), (B, j + (Q - 1) * stride + 1), (1, stride)
+            )
+            ncoll = ncoll + (w0 == collapsed_from).astype(jnp.int32)
+    if collapsed_from is not None and max_collapsed > 0:
+        ok &= ncoll <= max_collapsed
     # windows running past the read's true length are invalid
     qpos = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1) * stride
     ok &= qpos + k <= lengths[:, None]

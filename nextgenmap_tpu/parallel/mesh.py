@@ -21,9 +21,16 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: int | None = None, index_shards: int = 1) -> Mesh:
-    """1-D reads mesh, or 2-D (dp, ish) when index_shards > 1."""
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, index_shards: int = 1,
+              devices=None) -> Mesh:
+    """1-D reads mesh, or 2-D (dp, ish) when index_shards > 1.
+
+    Defaults to this process's LOCAL devices: data-parallel mapping feeds
+    each host its own read shard (parallel/distributed.py), so the dp mesh
+    must not span hosts.  Pass `devices=jax.devices()` explicitly to build a
+    global mesh (pod-sharded index over "ish").
+    """
+    devs = jax.local_devices() if devices is None else devices
     n = n_devices or len(devs)
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")

@@ -133,7 +133,9 @@ def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,
     """Write one single-end batch's records in input order."""
     from nextgenmap_tpu import native
 
-    if native.lib() is not None:
+    # the C formatter covers soft/hard clip rendering; --silent-clip is rare
+    # enough to take the Python path
+    if native.lib() is not None and not writer.cfg.silent_clip:
         return _emit_single_native(writer, batch, res, stats)
     mapped = np.asarray(res.mapped)
     strand = np.asarray(res.strand)
@@ -245,7 +247,29 @@ def run_mapping(
     # hash so resume stays consistent
     import jax as _jax
 
-    ndev = cfg.devices or len(_jax.devices())
+    # -- multi-host sharding (SURVEY.md §2.3/§5.8; parallel/distributed.py):
+    # this process maps read batches b with b % nprocs == procid into a
+    # .part file; process 0 merges parts back into input order at the end --
+    dist = cfg.dist_nprocs > 1
+    final_out = out_path
+    if dist:
+        from nextgenmap_tpu.parallel import distributed as dist_mod
+
+        if cfg.dist_coordinator:
+            dist_mod.init_distributed(
+                cfg.dist_coordinator, cfg.dist_nprocs, cfg.dist_procid
+            )
+        if out_path in (None, "-"):
+            raise ValueError("multi-host mapping requires -o <file>")
+        if cfg.bam:
+            raise ValueError(
+                "multi-host + --bam unsupported: map to SAM shards, convert after"
+            )
+        if resume:
+            raise ValueError("multi-host + --resume not supported (yet)")
+        out_path = dist_mod.part_path(final_out, cfg.dist_procid, cfg.dist_nprocs)
+
+    ndev = cfg.devices or len(_jax.local_devices())
     if ndev > 1:
         m = 2 * ndev
         bs = ((cfg.batch_size + m - 1) // m) * m
@@ -313,9 +337,19 @@ def run_mapping(
         out = BamTextWriter(out_path)
     else:
         out = open(out_path, "a", buffering=1 << 20) if append else open_output(out_path)
+    if dist:
+        from nextgenmap_tpu.parallel.distributed import CountingWriter
+
+        out = CountingWriter(out)
     writer = SamWriter(genome, cfg, out, cmdline)
     if not append:
         writer.write_header()
+    header_lines = out.lines if dist else 0
+    batch_lines: list[int] = []
+
+    def record_batch_lines() -> None:
+        if dist:
+            batch_lines.append(out.lines - header_lines - sum(batch_lines))
 
     cells_per_aln = read_len * mapper.band  # for the GCUPS counter
 
@@ -335,6 +369,10 @@ def run_mapping(
     if not paired:
         topn = max(1, cfg.topn)
         batches = batch_single(qry, cfg.batch_size, read_len, skip, count)
+        if dist:
+            from nextgenmap_tpu.parallel.distributed import shard_batches
+
+            batches = shard_batches(batches, cfg.dist_procid, cfg.dist_nprocs)
         for batch in batches:
             if topn > 1:
                 results = mapper.map_batch_topn(batch.codes, batch.lengths)
@@ -345,6 +383,7 @@ def run_mapping(
                 res = mapper.map_batch(batch.codes, batch.lengths)
                 account(res, batch)
                 emit_single(writer, batch, res, stats)
+            record_batch_lines()
             save_progress()
             if not cfg.no_progress:
                 log.info(
@@ -358,10 +397,15 @@ def run_mapping(
             raise ValueError("paired qry-start/qry-count/resume must be even")
         src = batch_paired(qry1 or qry, qry2, cfg.batch_size, read_len,
                            skip, count)
+        if dist:
+            from nextgenmap_tpu.parallel.distributed import shard_batches
+
+            src = shard_batches(src, cfg.dist_procid, cfg.dist_nprocs)
         for batch in src:
             res = map_paired_batch(mapper, writer, batch, stats)
             if res is not None:
                 account(res, batch)
+            record_batch_lines()
             save_progress()
             if not cfg.no_progress:
                 log.info(
@@ -374,5 +418,22 @@ def run_mapping(
     if cfg.bam or out_path not in (None, "-"):
         out.close()
     save_progress(complete=True)
+    if dist:
+        from nextgenmap_tpu.parallel import distributed as dist_mod
+
+        sd = {k: v for k, v in vars(stats).items()
+              if isinstance(v, (int, float)) and k != "start_time"}
+        dist_mod.write_manifest(
+            final_out, cfg.dist_procid, cfg.dist_nprocs,
+            header_lines, batch_lines, sd, complete=True,
+        )
+        if cfg.dist_procid == 0 and not cfg.no_merge:
+            totals = dist_mod.merge_parts(final_out, cfg.dist_nprocs)
+            log.info(
+                "done (all %d hosts): reads: %d  mapped: %d  unmapped: %d",
+                cfg.dist_nprocs, totals.get("reads_in", 0),
+                totals.get("reads_mapped", 0), totals.get("reads_unmapped", 0),
+            )
+            return stats
     log.info("done: %s", stats.summary())
     return stats

@@ -14,8 +14,15 @@ NEG = -(2**30)
 OP_M, OP_I, OP_D = 0, 1, 2
 
 
-def banded_sw_oracle(query, qlen, ref, matrix, gopen_q, gopen_r, gext, band):
-    """Returns dict with score/end_i/end_o and traceback fields for ONE pair."""
+def banded_sw_oracle(query, qlen, ref, matrix, gopen_q, gopen_r, gext, band,
+                     mode="local"):
+    """Returns dict with score/end_i/end_o and traceback fields for ONE pair.
+
+    mode="local" is classic SW; mode="glocal" is --end-to-end: the WHOLE
+    query must be consumed (no clipping; scores may dip negative mid-read),
+    ref start/end stay free within the corridor.
+    """
+    glocal = mode == "glocal"
     L = len(query)
     W = band
     T = len(ref)
@@ -40,7 +47,7 @@ def banded_sw_oracle(query, qlen, ref, matrix, gopen_q, gopen_r, gext, band):
             e_ext = e_up - gext
             e = max(e_open, e_ext)
             EEXT[i, o] = 1 if e_ext > e_open else 0
-            htmp = max(0, hd, e)
+            htmp = max(hd, e) if glocal else max(0, hd, e)
             htmp_row[o] = htmp
             if o == 0:
                 f = NEG
@@ -54,7 +61,7 @@ def banded_sw_oracle(query, qlen, ref, matrix, gopen_q, gopen_r, gext, band):
             h = max(htmp, f)
             H[i + 1, o] = h
             E[i + 1, o] = e
-            if h <= 0:
+            if not glocal and h <= 0:
                 HSRC[i, o] = 0
             elif h == hd:
                 HSRC[i, o] = 1
@@ -62,8 +69,11 @@ def banded_sw_oracle(query, qlen, ref, matrix, gopen_q, gopen_r, gext, band):
                 HSRC[i, o] = 2
             else:
                 HSRC[i, o] = 3
-        if i < qlen:
+        row_eligible = (i == qlen - 1) if glocal else (i < qlen)
+        if row_eligible:
             rowmax = int(H[i + 1].max())
+            # best stays 0 when a glocal alignment only scores <= 0 —
+            # downstream treats that as unalignable, same as local
             if rowmax > best:
                 best = rowmax
                 bi = i
