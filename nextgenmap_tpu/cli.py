@@ -74,6 +74,8 @@ def build_parser():
         g.add_argument("--gap-extend-penalty", type=int,
                        default=D.gap_extend_penalty)
         g.add_argument("--affine", action="store_true")
+        g.add_argument("--end-to-end", action="store_true",
+                       help="whole-read (glocal) alignment, no soft clipping")
         g.add_argument("--sw-backend", choices=["xla", "pallas"],
                        default=D.sw_backend,
                        help="banded-SW kernel implementation")
@@ -156,7 +158,7 @@ def config_from_args(a) -> NgmConfig:
         match_bonus=a.match_bonus, mismatch_penalty=a.mismatch_penalty,
         gap_read_penalty=a.gap_read_penalty, gap_ref_penalty=a.gap_ref_penalty,
         gap_extend_penalty=a.gap_extend_penalty, affine=a.affine,
-        sw_backend=a.sw_backend,
+        end_to_end=a.end_to_end, sw_backend=a.sw_backend,
         min_insert_size=a.min_insert_size, max_insert_size=a.max_insert_size,
         pair_score_cutoff=a.pair_score_cutoff,
         bs_mapping=a.bs_mapping, bs_cutoff=a.bs_cutoff, slam_seq=a.slam_seq,

@@ -53,6 +53,8 @@ class NgmConfig:
     gap_ref_penalty: int = 20     # gap opened in the reference
     gap_extend_penalty: int = 20  # NGM default == open => effectively linear gaps
     affine: bool = False          # ref --affine: true affine-gap kernel
+    end_to_end: bool = False      # ref --end-to-end: whole read must align
+                                  # (glocal DP, no soft clipping)
     sw_backend: str = "xla"       # "xla" (fused lax.scan) or "pallas" (ops/sw_pallas)
 
     # --- filters / selection ---
@@ -133,10 +135,12 @@ class NgmConfig:
         """
         if self.max_read_hits:
             return self.max_read_hits
-        exp_row = max(1.0, n_positions / float(4 ** self.kmer))
-        est = self.kmers_per_read(read_len) * min(
-            float(self.max_kmer_fanout), 2.0 * exp_row
-        )
+        exp_row = n_positions / float(4 ** self.kmer)
+        # the cap covers BOTH strands (2x kmers_per_read lookups); 1.5x the
+        # expected row length covers the Poisson tail (validated on a
+        # chr20-scale genome where 1.25x still overflowed)
+        per_row = min(float(self.max_kmer_fanout), max(1.25, 1.5 * exp_row))
+        est = 2 * self.kmers_per_read(read_len) * per_row
         return max(128, min(512, _round_up(int(est), 64)))
 
     def kmers_per_read(self, read_len: int) -> int:

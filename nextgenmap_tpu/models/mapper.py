@@ -83,7 +83,7 @@ def _candidates_and_scores(
     gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
     slot_cap, read_stride=1, bs=False, bs_cutoff=0, sw_backend="xla",
-    cs_axis=None,
+    end_to_end=False, cs_axis=None,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
@@ -186,16 +186,22 @@ def _candidates_and_scores(
     corr_s = jnp.where(slot_valid[:, None], corr_s, 4)        # [S, T]
 
     # score every real candidate (ref: IAlignment::BatchScore)
-    sw_fn = (
-        banded_sw_score_pallas
-        if sw_backend == "pallas" and _use_dma(W) and W % 8 == 0
-        else banded_sw_score
+    use_pallas = (
+        sw_backend == "pallas" and not end_to_end
+        and _use_dma(W) and W % 8 == 0
     )
-    sres = sw_fn(
-        q_s, len_s, corr_s, matrices,
-        gopen_q, gopen_r, gext, strand_s,
-        band=W,
-    )
+    if use_pallas:
+        sres = banded_sw_score_pallas(
+            q_s, len_s, corr_s, matrices,
+            gopen_q, gopen_r, gext, strand_s,
+            band=W,
+        )
+    else:
+        sres = banded_sw_score(
+            q_s, len_s, corr_s, matrices,
+            gopen_q, gopen_r, gext, strand_s,
+            band=W, mode="glocal" if end_to_end else "local",
+        )
     score_s = jnp.where(slot_valid, sres.score, 0)
 
     # scatter scores back to the dense [B, C] candidate grid for selection
@@ -220,7 +226,7 @@ def _candidates_and_scores(
 def _finish(
     a1, sw, corr_start, strand, slots, lengths, matrices,
     gopen_q, gopen_r, gext, min_identity, min_residues,
-    n_cands, overflow, proper, *, band,
+    n_cands, overflow, proper, *, band, end_to_end=False,
 ):
     """Traceback the chosen candidate a1 [B] and apply filters + MAPQ."""
     B, C = sw.shape
@@ -252,7 +258,7 @@ def _finish(
     ares = banded_sw_align(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
-        band=band,
+        band=band, mode="glocal" if end_to_end else "local",
     )
 
     aln_cols = jnp.maximum(1, ares.n_ops)
@@ -296,7 +302,7 @@ def _finish(
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
     "min_kmer_hits", "slot_cap", "read_stride", "bs", "bs_cutoff",
-    "sw_backend", "cs_axis",
+    "sw_backend", "end_to_end", "cs_axis",
 )
 
 
@@ -306,7 +312,7 @@ def map_step(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", cs_axis=None,
+    sw_backend="xla", end_to_end=False, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
     slot_cap = slot_cap or 2 * reads.shape[0]
@@ -317,7 +323,7 @@ def map_step(
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
-            sw_backend=sw_backend, cs_axis=cs_axis,
+            sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
         )
     )
     a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
@@ -325,7 +331,7 @@ def map_step(
     return _finish(
         a1, sw, corr_start, strand, slots, lengths, matrices,
         gopen_q, gopen_r, gext, min_identity, min_residues,
-        n_cands, overflow, proper, band=band,
+        n_cands, overflow, proper, band=band, end_to_end=end_to_end,
     )
 
 
@@ -335,7 +341,7 @@ def map_step_topn(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", topn=2, cs_axis=None,
+    sw_backend="xla", end_to_end=False, topn=2, cs_axis=None,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
 
@@ -352,7 +358,7 @@ def map_step_topn(
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
-            sw_backend=sw_backend, cs_axis=cs_axis,
+            sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
         )
     )
     proper = jnp.zeros(sw.shape[0], dtype=bool)
@@ -361,7 +367,7 @@ def map_step_topn(
         _finish(
             top_idx[:, j], sw, corr_start, strand, slots, lengths, matrices,
             gopen_q, gopen_r, gext, min_identity, min_residues,
-            n_cands, overflow, proper, band=band,
+            n_cands, overflow, proper, band=band, end_to_end=end_to_end,
         )
         for j in range(topn)
     )
@@ -374,7 +380,7 @@ def map_step_paired(
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", cs_axis=None,
+    sw_backend="xla", end_to_end=False, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -392,7 +398,7 @@ def map_step_paired(
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
-            sw_backend=sw_backend, cs_axis=cs_axis,
+            sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
         )
     )
     B, C = sw.shape
@@ -444,7 +450,7 @@ def map_step_paired(
     return _finish(
         a1, sw, corr_start, strand, slots, lengths, matrices,
         gopen_q, gopen_r, gext, min_identity, min_residues,
-        n_cands, overflow, proper, band=band,
+        n_cands, overflow, proper, band=band, end_to_end=end_to_end,
     )
 
 
@@ -543,6 +549,7 @@ class Mapper:
             bs=cfg.bs_mapping,
             bs_cutoff=cfg.bs_cutoff,
             sw_backend=cfg.sw_backend,
+            end_to_end=cfg.end_to_end,
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:

@@ -94,8 +94,13 @@ def _sub_scores(flat, n_mats, moff, qi, rw):
         sub = sub + jnp.where(rw == c, rqc[:, None], 0)
     return sub
 
-def _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext):
-    """One DP row. Returns (h, e, htmp-F decomposition pieces for dirs)."""
+def _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext, local=True):
+    """One DP row. Returns (h, e, htmp-F decomposition pieces for dirs).
+
+    local=False is the --end-to-end (glocal) recurrence: no 0 floor, so the
+    whole query must be consumed (row 0's zero h_prev still gives a free ref
+    start anywhere in the corridor).
+    """
     B, W = sub.shape
     # diag: previous row, same offset
     hd = h_prev + sub
@@ -105,7 +110,8 @@ def _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext):
     e_open = h_up - gopen_q
     e_ext = e_up - gext
     e = jnp.maximum(e_open, e_ext)
-    htmp = jnp.maximum(jnp.maximum(0, hd), e)
+    base = jnp.maximum(0, hd) if local else hd
+    htmp = jnp.maximum(base, e)
     # F (left) via exclusive max-scan of Htmp[t] + t*gext
     off = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     a = htmp + off * gext
@@ -116,19 +122,22 @@ def _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext):
     return h, e, hd, f, e_ext, e_open
 
 
-def _dirs(h, hd, e, f, e_ext_term, e_open_term, f_prev_ext, f_prev_open, mbit):
-    """Pack the direction byte per cell (tie-breaks per DESIGN.md rule 10)."""
-    d = jnp.where(
-        h <= 0, 0,
-        jnp.where(h == hd, 1, jnp.where(h == e, 2, 3)),
-    ).astype(jnp.uint8)
+def _dirs(h, hd, e, f, e_ext_term, e_open_term, f_prev_ext, f_prev_open, mbit,
+          local=True):
+    """Pack the direction byte per cell (tie-breaks per DESIGN.md rule 10).
+
+    glocal (--end-to-end) cells never encode "stop": the backwalk runs until
+    the query is exhausted (row -1), not until the score hits 0.
+    """
+    src = jnp.where(h == hd, 1, jnp.where(h == e, 2, 3))
+    d = (jnp.where(h <= 0, 0, src) if local else src).astype(jnp.uint8)
     e_bit = (e_ext_term > e_open_term).astype(jnp.uint8) << 2
     f_bit = (f_prev_ext > f_prev_open).astype(jnp.uint8) << 3
     m_bit = mbit.astype(jnp.uint8) << 4
     return d | e_bit | f_bit | m_bit
 
 
-@partial(jax.jit, static_argnames=("band",))
+@partial(jax.jit, static_argnames=("band", "mode"))
 def banded_sw_score(
     query: jax.Array,   # [B, L] int32/uint8 codes
     qlen: jax.Array,    # [B] int32
@@ -140,11 +149,15 @@ def banded_sw_score(
     msel: jax.Array | None = None,  # [B] int32 matrix index (e.g. bisulfite strand)
     *,
     band: int,
+    mode: str = "local",
 ) -> ScoreResult:
     """Score-only banded SW over a batch. ~L sequential steps of [B, W] VPU work.
 
     `matrix` may be [8,8] (shared) or [M,8,8] with per-row selector `msel`.
+    mode="glocal" (--end-to-end): whole query consumed, best cell taken from
+    the last query row only; score <= 0 reports as 0 (unalignable).
     """
+    local = mode == "local"
     B, L = query.shape
     W = band
     q = query.astype(jnp.int32)
@@ -159,10 +172,10 @@ def banded_sw_score(
         qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]          # [B]
         rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)                # [B, W]
         sub = _sub_scores(flat, n_mats, moff, qi, rw)
-        h, e, *_ = _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext)
-        valid = (i < qlen)[:, None]
-        h_m = jnp.where(valid, h, 0)
-        rowmax = jnp.max(h_m, axis=1)
+        h, e, *_ = _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext, local)
+        valid = ((i < qlen) if local else (i == qlen - 1))[:, None]
+        h_m = jnp.where(valid, h, NEG)
+        rowmax = jnp.maximum(jnp.max(h_m, axis=1), 0)
         rowarg = jnp.argmax(h_m, axis=1).astype(jnp.int32)
         upd = rowmax > best
         best = jnp.where(upd, rowmax, best)
@@ -177,7 +190,7 @@ def banded_sw_score(
     return ScoreResult(best, bi, bo)
 
 
-@partial(jax.jit, static_argnames=("band", "max_ops"))
+@partial(jax.jit, static_argnames=("band", "max_ops", "mode"))
 def banded_sw_align(
     query: jax.Array,
     qlen: jax.Array,
@@ -190,13 +203,17 @@ def banded_sw_align(
     *,
     band: int,
     max_ops: int = 0,
+    mode: str = "local",
 ) -> AlignResult:
     """Banded SW with full traceback: direction matrix + vectorized backwalk.
 
     The direction matrix is [B, L, W] uint8 (the Pallas version packs this
     tighter); the backwalk is a lax.while_loop of at most L+W steps with [B]
     gathers per step — only alignment survivors should be fed here.
+    mode="glocal" (--end-to-end): whole query consumed, no clipping; the
+    backwalk ends when the query is exhausted instead of at a 0 cell.
     """
+    local = mode == "local"
     B, L = query.shape
     W = band
     MO = max_ops or (L + W)
@@ -218,7 +235,8 @@ def banded_sw_align(
         e_open = h_up - gopen_q
         e_ext = e_up - gext
         e = jnp.maximum(e_open, e_ext)
-        htmp = jnp.maximum(jnp.maximum(0, hd), e)
+        base = jnp.maximum(0, hd) if local else hd
+        htmp = jnp.maximum(base, e)
         off = jax.lax.broadcasted_iota(jnp.int32, (B_, W_), 1)
         a = htmp + off * gext
         cm = jax.lax.associative_scan(jnp.maximum, a, axis=1)
@@ -230,10 +248,11 @@ def banded_sw_align(
         f_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), f[:, :-1]], axis=1)
         htmp_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), htmp[:, :-1]], axis=1)
         mbit = (qi[:, None] == rw) & (qi[:, None] < 4)
-        dirs = _dirs(h, hd, e, f, e_ext, e_open, f_left - gext, htmp_left - gopen_r, mbit)
-        valid = (i < qlen)[:, None]
-        h_m = jnp.where(valid, h, 0)
-        rowmax = jnp.max(h_m, axis=1)
+        dirs = _dirs(h, hd, e, f, e_ext, e_open, f_left - gext,
+                     htmp_left - gopen_r, mbit, local)
+        valid = ((i < qlen) if local else (i == qlen - 1))[:, None]
+        h_m = jnp.where(valid, h, NEG)
+        rowmax = jnp.maximum(jnp.max(h_m, axis=1), 0)
         rowarg = jnp.argmax(h_m, axis=1).astype(jnp.int32)
         upd = rowmax > best
         best = jnp.where(upd, rowmax, best)
