@@ -56,6 +56,13 @@ def main() -> None:
     off_d, pos_d = build_index_device(genome_d, k=cfg.kmer, skip=cfg.kmer_skip)
     jax.block_until_ready(pos_d)
     log(f"index built on device in {time.time() - t0:.1f}s ({pos_d.shape[0]} positions)")
+    # single-gather packed offsets, as the production Mapper uses
+    from nextgenmap_tpu.ops.candidate import pack_offsets
+
+    packed = pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+    packed_offsets = packed is not None
+    if packed_offsets:
+        off_d = packed
 
     codes, truth_pos, truth_strand = simulate_reads_fast(
         g, BATCH * N_BATCHES, read_len=READ_LEN, snp_rate=SNP_RATE, seed=2
@@ -68,6 +75,7 @@ def main() -> None:
         hit_cap=cfg.resolved_read_hits(int(pos_d.shape[0]), READ_LEN),
         max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
+        packed_offsets=packed_offsets,
     )
 
     mats_d = jnp.asarray(mats)

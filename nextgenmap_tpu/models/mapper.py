@@ -83,7 +83,7 @@ def _candidates_and_scores(
     gopen_q, gopen_r, gext, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
     slot_cap, read_stride=1, bs=False, bs_cutoff=0, sw_backend="xla",
-    end_to_end=False, cs_axis=None,
+    end_to_end=False, cs_axis=None, packed_offsets=False,
 ):
     """CS on both strands + banded-SW scoring of every candidate.
 
@@ -128,7 +128,7 @@ def _candidates_and_scores(
         km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
         fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, stride=read_stride, dual_tables=bs,
-        axis_name=cs_axis,
+        axis_name=cs_axis, packed_offsets=packed_offsets,
     )
     bucket, cs_score, strand = cand.bucket, cand.score, cand.strand
     cand_valid = cs_score >= max(1, min_kmer_hits)
@@ -302,7 +302,7 @@ def _finish(
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
     "min_kmer_hits", "slot_cap", "read_stride", "bs", "bs_cutoff",
-    "sw_backend", "end_to_end", "cs_axis",
+    "sw_backend", "end_to_end", "cs_axis", "packed_offsets",
 )
 
 
@@ -312,7 +312,7 @@ def map_step(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, cs_axis=None,
+    sw_backend="xla", end_to_end=False, packed_offsets=False, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection)."""
     slot_cap = slot_cap or 2 * reads.shape[0]
@@ -324,6 +324,7 @@ def map_step(
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
             sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
+            packed_offsets=packed_offsets,
         )
     )
     a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
@@ -341,7 +342,7 @@ def map_step_topn(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, topn=2, cs_axis=None,
+    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2, cs_axis=None,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
 
@@ -359,6 +360,7 @@ def map_step_topn(
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
             sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
+            packed_offsets=packed_offsets,
         )
     )
     proper = jnp.zeros(sw.shape[0], dtype=bool)
@@ -380,7 +382,7 @@ def map_step_paired(
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, cs_axis=None,
+    sw_backend="xla", end_to_end=False, packed_offsets=False, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -399,6 +401,7 @@ def map_step_paired(
             diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
             slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
             sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
+            packed_offsets=packed_offsets,
         )
     )
     B, C = sw.shape
@@ -504,6 +507,16 @@ class Mapper:
             off, pos = self.index.device_arrays()
             self._off_dev = jax.device_put(jnp.asarray(off))
             self._pos_dev = jax.device_put(jnp.asarray(pos))
+        # pack (o0, row length) into one uint32 table when the index is small
+        # enough — halves the CS offset gathers, the measured hot spot
+        from nextgenmap_tpu.ops.candidate import pack_offsets
+
+        packed = pack_offsets(
+            self._off_dev, self.cfg.max_kmer_freq, self.cfg.max_kmer_fanout
+        )
+        self._packed_offsets = packed is not None
+        if packed is not None:
+            self._off_dev = packed
         self._matrices = jnp.asarray(
             np.stack([score_matrix(self.cfg, 0), score_matrix(self.cfg, 1)])
         )
@@ -550,6 +563,7 @@ class Mapper:
             bs_cutoff=cfg.bs_cutoff,
             sw_backend=cfg.sw_backend,
             end_to_end=cfg.end_to_end,
+            packed_offsets=self._packed_offsets,
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:

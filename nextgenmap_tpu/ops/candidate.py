@@ -38,7 +38,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-SENTINEL = jnp.int32(2**31 - 1)  # bucket value for invalid hits; sorts last
+# plain int, not an eager jnp scalar (which would init the XLA backend at
+# import and break jax.distributed.initialize)
+SENTINEL = 2**31 - 1  # bucket value for invalid hits; sorts last
 
 _BIAS = 1 << 16        # vote bias so negative diagonals stay sortable
 _STRAND_OFF = 1 << 28  # strand tag above any biased bucket
@@ -58,9 +60,40 @@ def _cummax(x, axis):
     return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
 
 
+PACK_CNT_BITS = 6          # low bits hold min(row length, 63)
+PACK_MAX_POSITIONS = 1 << (32 - PACK_CNT_BITS)  # o0 must fit the high bits
+
+
+def pack_offsets(offsets: jax.Array, max_freq, fanout_cap: int):
+    """Pack CSR (o0, row length) pairs into ONE uint32 table, or None.
+
+    Element gathers are the CS hot spot on TPU (~15-40 ns each, serial); the
+    plain layout needs TWO offset gathers per k-mer (o0 and o1).  Packing
+    `o0 << 6 | min(len, 63)` halves that.  Repeat masking (row length >
+    max_freq => treat as empty) is baked in at pack time — identical to the
+    lookup-time mask since both use the run's max_kmer_freq.  Only valid
+    when every o0 < 2^26 (genomes/indices under ~67M positions) and
+    fanout_cap < 63 (so the 63 saturation can never hide a real overflow).
+
+    For concatenated dual tables (bisulfite) the join entry is garbage but
+    also never indexed (k-mer ids stay within each half); a zero pad keeps
+    the table length — and therefore the table_split stride — unchanged.
+    """
+    if fanout_cap >= (1 << PACK_CNT_BITS) - 1:
+        return None
+    n_pos = int(offsets[-1])
+    if n_pos >= PACK_MAX_POSITIONS:
+        return None
+    off = jnp.asarray(offsets)
+    cnt = off[1:] - off[:-1]
+    cnt = jnp.where(cnt > max_freq, 0, jnp.minimum(cnt, (1 << PACK_CNT_BITS) - 1))
+    packed = (off[:-1].astype(jnp.uint32) << PACK_CNT_BITS) | cnt.astype(jnp.uint32)
+    return jnp.concatenate([packed, jnp.zeros((1,), jnp.uint32)])
+
+
 def _compact_hits(
     km, ok, offsets, positions, max_freq,
-    *, fanout_cap, hit_cap, table_split=0,
+    *, fanout_cap, hit_cap, table_split=0, packed_offsets=False,
 ):
     """Compact the ragged CSR fan-out of a kmer batch into [B, H] hit slots.
 
@@ -83,10 +116,17 @@ def _compact_hits(
             jax.lax.broadcasted_iota(jnp.int32, (1, Qt), 1) >= table_split
         ).astype(jnp.int32)
         kmw = kmw + sel * stride
-    o0 = offsets[kmw]                        # [B, Qt]
-    o1 = offsets[kmw + 1]
-    cnt = jnp.where(ok, o1 - o0, 0)
-    cnt = jnp.where(cnt > max_freq, 0, cnt)  # repeat masking (lookup-time)
+    if packed_offsets:
+        # ONE gather: offsets is the uint32 (o0 << 6 | len) table from
+        # pack_offsets (repeat masking already baked in)
+        pw = offsets[kmw]                    # [B, Qt] uint32
+        o0 = (pw >> PACK_CNT_BITS).astype(jnp.int32)
+        cnt = jnp.where(ok, (pw & ((1 << PACK_CNT_BITS) - 1)).astype(jnp.int32), 0)
+    else:
+        o0 = offsets[kmw]                    # [B, Qt]
+        o1 = offsets[kmw + 1]
+        cnt = jnp.where(ok, o1 - o0, 0)
+        cnt = jnp.where(cnt > max_freq, 0, cnt)  # repeat masking (lookup-time)
     fanout_overflow = jnp.sum((cnt > K).astype(jnp.int32))
     cnt_c = jnp.minimum(cnt, K)
 
@@ -163,7 +203,7 @@ def _select_candidates(votes, sensitivity, max_cmrs, axis_name):
     jax.jit,
     static_argnames=(
         "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride",
-        "dual_tables", "axis_name",
+        "dual_tables", "axis_name", "packed_offsets",
     ),
 )
 def candidate_search_dual(
@@ -183,6 +223,7 @@ def candidate_search_dual(
     stride: int = 1,
     dual_tables: bool = False,
     axis_name: str | None = None,
+    packed_offsets: bool = False,
 ) -> Candidates:
     """Both strands in ONE counting pass (like the reference's CS table).
 
@@ -199,6 +240,7 @@ def candidate_search_dual(
         km, ok, offsets, positions, max_freq,
         fanout_cap=fanout_cap, hit_cap=hit_cap,
         table_split=Q if dual_tables else 0,
+        packed_offsets=packed_offsets,
     )
     strand = (qid >= Q).astype(jnp.int32)                # [B, H]
     qoff = jnp.where(strand == 1, qid - Q, qid) * stride

@@ -40,7 +40,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.int32(-(2**30))
+# plain int (NOT an eager jnp scalar: creating a JAX array at import time
+# initializes the XLA backend, which breaks jax.distributed.initialize for
+# any process that imports this module first)
+NEG = -(2**30)
 
 # traceback op codes (match SAM CIGAR semantics)
 OP_M, OP_I, OP_D = 0, 1, 2
@@ -265,7 +268,10 @@ def banded_sw_align(
     init = (h0, e0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
     (_, _, best, bi, bo), dirs = jax.lax.scan(body, init, jnp.arange(L, dtype=jnp.int32))
     dirs = jnp.transpose(dirs, (1, 0, 2))  # [B, L, W]
-    dflat = dirs.reshape(B, L * W).astype(jnp.int32)
+    # stays uint8: the backwalk re-reads this [B, L*W] array from HBM every
+    # step (the masked-sum fetch), so its BYTE width is the walk's bandwidth
+    # bill — int32 here measured 4x slower end-to-end on v5e
+    dflat = dirs.reshape(B, L * W)
 
     # ---- vectorized backwalk (fixed-length scan, no per-step gathers) ----
     # Every active step emits exactly one op: an H-cell whose source is E/F
@@ -282,7 +288,11 @@ def banded_sw_align(
         i, o, ph = st["i"], st["o"], st["ph"]
         inb = (i >= 0) & (i < L) & (o >= 0) & (o < W)
         idx = jnp.clip(i * W + o, 0, LW - 1)
-        d = jnp.sum(jnp.where((col == idx[:, None]) & inb[:, None], dflat, 0), axis=1)
+        d = jnp.sum(
+            jnp.where((col == idx[:, None]) & inb[:, None], dflat, 0)
+            .astype(jnp.int32),
+            axis=1,
+        )
         hsrc = d & 3
         active = st["active"] & inb & ((ph != PH_H) | (hsrc != 0))
 

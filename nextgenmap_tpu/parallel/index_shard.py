@@ -39,7 +39,7 @@ from nextgenmap_tpu.models.mapper import MapResult, map_step, map_step_paired
 
 INT_MAX = np.int32(2**31 - 1)
 # global positions ride uint32 on device (GRCh38 concatenated exceeds int31)
-UPOS_MAX = jnp.uint32(2**32 - 1)
+UPOS_MAX = np.uint32(2**32 - 1)  # numpy, not jnp: no XLA init at import
 
 
 @dataclass

@@ -313,16 +313,36 @@ def run_mapping(
             if count:
                 count = max(0, count - prior)
             append = prior > 0
+            # a kill mid-batch leaves partial records past the checkpoint;
+            # drop them so the in-flight batch re-emits idempotently
+            # (SURVEY.md §5.4)
+            ob = p.get("out_bytes")
+            if append and ob is not None and os.path.getsize(out_path) > ob:
+                with open(out_path, "r+") as tf:
+                    tf.truncate(ob)
+                log.info("truncated %s to checkpointed %d bytes", out_path, ob)
             log.info("resuming after %d already-emitted reads", prior)
 
     def save_progress(complete: bool = False) -> None:
         if progress_path is None:
             return
+        # crash consistency: the output stream is buffered, so it must hit
+        # the OS before the sidecar claims its records were emitted — a
+        # SIGKILL between the two would otherwise lose records that resume
+        # then skips (tests/test_resume.py kill test)
+        flush = getattr(out, "flush", None)
+        if flush is not None:
+            flush()
+        try:  # byte offset of the checkpoint: resume truncates back to it
+            out_bytes = getattr(out, "out", out).tell()
+        except (OSError, ValueError, AttributeError):
+            out_bytes = None
         tmp = progress_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({
                 "reads_emitted": prior + stats.reads_in,
                 "config_sha": cfg_sha,
+                "out_bytes": out_bytes,
                 "complete": complete,
             }, f)
         os.replace(tmp, progress_path)
@@ -415,9 +435,9 @@ def run_mapping(
     if profile_dir:
         _jx.profiler.stop_trace()
         log.info("profiler trace written to %s", profile_dir)
+    save_progress(complete=True)
     if cfg.bam or out_path not in (None, "-"):
         out.close()
-    save_progress(complete=True)
     if dist:
         from nextgenmap_tpu.parallel import distributed as dist_mod
 

@@ -135,3 +135,39 @@ def test_padding_rows_inert(ecoli_like):
     res = search(reads, np.zeros(4, np.int32), off, pos)
     assert int(jnp.sum(res.score)) == 0
     assert (np.asarray(res.bucket) == int(SENTINEL)).all()
+
+
+def test_packed_offsets_identical():
+    """pack_offsets single-gather path == two-gather path, bit for bit."""
+    import numpy as np
+
+    from nextgenmap_tpu.index.kmer_index import KmerIndex
+    from nextgenmap_tpu.io.simulate import random_genome
+    from nextgenmap_tpu.ops.candidate import candidate_search_dual, pack_offsets
+    from nextgenmap_tpu.ops.kmer import extract_kmers
+
+    g = random_genome(20_000, seed=51)
+    idx = KmerIndex.build(g, k=11, skip=1, max_freq=100)
+    off, pos = idx.device_arrays()
+    rng = np.random.default_rng(52)
+    starts = rng.integers(0, 20_000 - 80, size=64)
+    reads = np.stack([g[s : s + 80] for s in starts])
+    lens = np.full(64, 80, np.int32)
+    km_f, ok_f = extract_kmers(reads, lens, 11, stride=2)
+    km_r, ok_r = extract_kmers(reads[:, ::-1], lens, 11, stride=2)
+
+    import jax.numpy as jnp
+
+    packed = pack_offsets(jnp.asarray(off), 100, 32)
+    assert packed is not None
+    kw = dict(fanout_cap=32, hit_cap=128, max_cmrs=16, diag_bin_log2=4, stride=2)
+    a = candidate_search_dual(km_f, ok_f, km_r, ok_r, jnp.asarray(off),
+                              jnp.asarray(pos), jnp.float32(0.5),
+                              jnp.int32(100), **kw)
+    b = candidate_search_dual(km_f, ok_f, km_r, ok_r, packed,
+                              jnp.asarray(pos), jnp.float32(0.5),
+                              jnp.int32(100), packed_offsets=True, **kw)
+    for f in ("bucket", "score", "strand", "best_score"):
+        assert (np.asarray(getattr(a, f)) == np.asarray(getattr(b, f))).all(), f
+    assert int(a.fanout_overflow) == int(b.fanout_overflow)
+    assert int(a.hit_overflow) == int(b.hit_overflow)

@@ -29,6 +29,10 @@ def dist_dir(tmp_path_factory):
     # 5 batches of 64 + a partial: odd/even split exercises both owners
     write_fastq(str(d / "reads.fq"),
                 simulate_reads(g, 350, read_len=100, snp_rate=0.02, seed=22))
+    rc = main(["map", "-r", str(d / "ref.fa"), "-q", str(d / "reads.fq"),
+               "-o", str(d / "single.sam"), "-k", "11", "--batch-size", "64",
+               "--no-progress", "--skip-save"])
+    assert rc == 0
     return d
 
 
@@ -40,7 +44,7 @@ def _body(path):
     return [h for h in hdr if not h.startswith("@PG")], recs
 
 
-def _spawn(d, procid, nprocs, out="dist.sam"):
+def _spawn(d, procid, nprocs, out="dist.sam", extra=()):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     return subprocess.Popen(
@@ -48,18 +52,13 @@ def _spawn(d, procid, nprocs, out="dist.sam"):
          "-r", str(d / "ref.fa"), "-q", str(d / "reads.fq"),
          "-o", str(d / out), "-k", "11", "--batch-size", "64",
          "--no-progress", "--skip-save",
-         "--dist-nprocs", str(nprocs), "--dist-procid", str(procid)],
+         "--dist-nprocs", str(nprocs), "--dist-procid", str(procid), *extra],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
 
 
 def test_two_process_shard_and_merge(dist_dir):
     d = dist_dir
-    rc = main(["map", "-r", str(d / "ref.fa"), "-q", str(d / "reads.fq"),
-               "-o", str(d / "single.sam"), "-k", "11", "--batch-size", "64",
-               "--no-progress", "--skip-save"])
-    assert rc == 0
-
     procs = [_spawn(d, i, 2) for i in range(2)]
     outs = [p.communicate(timeout=600)[0].decode() for p in procs]
     for p, o in zip(procs, outs):
@@ -71,6 +70,27 @@ def test_two_process_shard_and_merge(dist_dir):
     assert recs_d == recs_s          # byte-identical records, input order
     # parts are cleaned up after a successful merge
     assert not os.path.exists(str(d / "dist.sam") + ".part0-of-2")
+
+
+def test_two_process_with_jax_distributed(dist_dir):
+    """Same run but through jax.distributed.initialize on localhost — the
+    global-runtime path a pod slice uses (§5.8).  Output must still match
+    the single-process run."""
+    import socket
+
+    d = dist_dir
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = ("--dist-coordinator", f"127.0.0.1:{port}")
+    procs = [_spawn(d, i, 2, out="distg.sam", extra=coord) for i in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    assert "jax.distributed up" in outs[0] + outs[1]
+    _, recs_s = _body(d / "single.sam")
+    _, recs_g = _body(d / "distg.sam")
+    assert recs_g == recs_s
 
 
 def test_part_and_manifest_shapes(dist_dir):
