@@ -78,28 +78,22 @@ def revcomp_batch(codes: jax.Array) -> jax.Array:
     return jnp.where(flipped < 4, 3 - flipped, flipped).astype(codes.dtype)
 
 
-def _candidates_and_scores(
-    genome, offsets, positions, reads, lengths, matrices,
-    gopen_q, gopen_r, gext, sensitivity, max_freq,
+def _candidates(
+    genome, offsets, positions, reads, lengths, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
-    slot_cap, read_stride=1, bs=False, bs_cutoff=0, sw_backend="xla",
-    end_to_end=False, cs_axis=None, packed_offsets=False,
+    read_stride=1, bs=False, bs_cutoff=0, cs_axis=None, packed_offsets=False,
 ):
-    """CS on both strands + banded-SW scoring of every candidate.
+    """CS on both strands -> deterministically ordered candidate grid.
 
     Candidate arrays are REORDERED by (strand asc, corridor start asc) so
-    later argmax/top_k selections tie-break per DESIGN.md rule 11.  Valid
-    candidates form a per-read PREFIX after that ordering, which lets the
-    (read, candidate) pairs be COMPACTED batch-wide into `slot_cap` flat
-    slots before the expensive per-candidate work: corridor window-gathers
-    and banded-SW scoring run once per REAL candidate (~2/read) instead of
-    once per [B, C] cell — on TPU the window gather costs ~1µs per window
-    regardless of width, so slots are the unit to minimize.
+    later argmax/top_k selections tie-break per DESIGN.md rule 11; valid
+    candidates form a per-read PREFIX after the ordering.  Returns
+    (corr_start [B,C], strand [B,C], cand_valid [B,C], n_cands [B],
+    rc [B,L] the left-shifted reverse-complement batch, overflow pair).
     """
     B, L = reads.shape
     W = band
     T = L + W
-    C = max_cmrs
     G = genome.shape[0]
     bin_w = 1 << diag_bin_log2
 
@@ -147,11 +141,42 @@ def _candidates_and_scores(
     strand = permute_small(strand, order)
     cand_valid = permute_small(cand_valid.astype(jnp.int32), order) == 1
 
-    # ---- batch-wide candidate compaction (DESIGN.md rule 8b) ----
-    # valid candidates are a per-read prefix; assign each a flat slot
     n_cands = jnp.sum(cand_valid.astype(jnp.int32), axis=1)   # [B]
-    base = jnp.cumsum(n_cands) - n_cands                      # exclusive [B]
-    total = base[-1] + n_cands[-1]
+    overflow = (
+        cand.fanout_overflow + cand.hit_overflow,
+        cand.cmr_overflow,
+    )
+    return corr_start, strand, cand_valid, n_cands, rc, overflow
+
+
+def _score_candidates(
+    genome, reads, rc, lengths, corr_start, strand, cand_valid, score_mask,
+    matrices, gopen_q, gopen_r, gext,
+    *, band, slot_cap, sw_backend="xla", end_to_end=False,
+):
+    """Banded-SW score the candidates of reads selected by `score_mask`.
+
+    LAZY SCORING (the big round-1 perf lever): a read whose selection needs
+    no comparison — one candidate, or a single-candidate pair — skips the
+    score pass entirely; its winner's score comes bit-identically from the
+    traceback DP in _finish.  On a 2%-SNP E. coli batch, 100% of reads have
+    exactly one candidate, so this removes the whole BatchScore stage that
+    the reference always pays (ref:src/ScoreBuffer.cpp).
+
+    (read, candidate) pairs of masked reads are COMPACTED batch-wide into
+    `slot_cap` flat slots (DESIGN.md rule 8b): corridors are window-gathered
+    and scored once per REAL candidate, and the scores scattered back to a
+    dense [B, C] grid (0 where unscored) for the selection argmax/top_k.
+    """
+    B, L = reads.shape
+    C = corr_start.shape[1]
+    W = band
+    T = L + W
+
+    eff_valid = cand_valid & score_mask[:, None]
+    n_sc = jnp.sum(eff_valid.astype(jnp.int32), axis=1)       # [B]
+    base = jnp.cumsum(n_sc) - n_sc                            # exclusive [B]
+    total = base[-1] + n_sc[-1]
     S = slot_cap
     slot_overflow = (total > S).astype(jnp.int32)
 
@@ -185,7 +210,7 @@ def _candidates_and_scores(
         q_s = gather_windows(q2.reshape(-1), qrow * L, L)
     corr_s = jnp.where(slot_valid[:, None], corr_s, 4)        # [S, T]
 
-    # score every real candidate (ref: IAlignment::BatchScore)
+    # score every compacted candidate (ref: IAlignment::BatchScore)
     use_pallas = (
         sw_backend == "pallas" and not end_to_end
         and _use_dma(W) and W % 8 == 0
@@ -211,55 +236,55 @@ def _candidates_and_scores(
         .set(score_s)[: B * C]
         .reshape(B, C)
     )
-    sw = jnp.where(cand_valid, sw, 0)
-
-    # hit_overflow (per-read H cap) and slot_overflow (batch slot cap) are
-    # folded into the audit counters
-    overflow = (
-        cand.fanout_overflow + cand.hit_overflow,
-        cand.cmr_overflow + slot_overflow,
-    )
-    slots = (corr_s, q_s, base)
-    return sw, corr_start, strand, slots, n_cands, overflow
+    sw = jnp.where(eff_valid, sw, 0)
+    return sw, slot_overflow
 
 
 def _finish(
-    a1, sw, corr_start, strand, slots, lengths, matrices,
-    gopen_q, gopen_r, gext, min_identity, min_residues,
+    a1, sw, corr_start, strand, cand_valid, genome, reads, rc, lengths,
+    matrices, gopen_q, gopen_r, gext, min_identity, min_residues,
     n_cands, overflow, proper, *, band, end_to_end=False,
 ):
-    """Traceback the chosen candidate a1 [B] and apply filters + MAPQ."""
-    B, C = sw.shape
-    corr_s, q_s, base = slots
-    S, T = corr_s.shape
-    L = q_s.shape[1]
+    """Traceback the chosen candidate a1 [B] and apply filters + MAPQ.
 
-    s1 = jnp.take_along_axis(sw, a1[:, None], axis=1)[:, 0]
+    The winner's corridor is re-fetched from the genome (one DMA window per
+    read — same cost as re-reading a slot array, but independent of the
+    lazy-scoring slot set).  The result score is the traceback DP's score:
+    bit-identical to the score kernel for scored candidates, and the ONLY
+    score ever computed for lazily-unscored single-candidate reads.
+    """
+    B, C = sw.shape
+    L = reads.shape[1]
+    T = L + band
+    G = genome.shape[0]
+
+    a1_valid = jnp.take_along_axis(cand_valid, a1[:, None], axis=1)[:, 0]
     best_start = jnp.take_along_axis(corr_start, a1[:, None], axis=1)[:, 0]
     best_strand = jnp.take_along_axis(strand, a1[:, None], axis=1)[:, 0]
-    # second best at a DIFFERENT locus (outside ±L of the winner) for MAPQ
+    # second best at a DIFFERENT locus (outside ±L of the winner) for MAPQ;
+    # the grid holds 0 for lazily-unscored reads, which have no second locus
     far = jnp.abs(corr_start - best_start[:, None]) > L
     s2 = jnp.max(jnp.where(far, sw, 0), axis=1)
 
-    # winner rows live in the compacted slot arrays at base[b] + a1[b]
-    # (a read with zero candidates points at a junk slot — its s1 is 0, so
-    # every derived field is gated by `mapped`)
-    win_slot = jnp.clip(base + a1, 0, S - 1)
+    starts = jnp.clip(jnp.where(a1_valid, best_start, 0), 0, max(0, G - T))
+    q2 = jnp.concatenate([reads, rc], axis=0)                 # [2B, L]
+    qrow = best_strand * B + jnp.arange(B, dtype=jnp.int32)
     if _use_dma(T, L):
-        best_corr = dma_gather_windows(
-            as_dma_table(corr_s.reshape(-1)), win_slot * T, T
-        )
+        best_corr = dma_gather_windows(as_dma_table(genome), starts, T)
+        Lp = ((L + 127) // 128) * 128
+        q2p = jnp.pad(q2, ((0, 0), (0, Lp - L)), constant_values=4)
         best_query = dma_gather_windows(
-            as_dma_table(q_s.reshape(-1)), win_slot * L, L
+            as_dma_table(q2p.reshape(-1)), qrow * Lp, L
         )
     else:
-        best_corr = gather_windows(corr_s.reshape(-1), win_slot * T, T)
-        best_query = gather_windows(q_s.reshape(-1), win_slot * L, L)
+        best_corr = gather_windows(pad_table(genome, T, 4), starts, T)
+        best_query = gather_windows(q2.reshape(-1), qrow * L, L)
     ares = banded_sw_align(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
         band=band, mode="glocal" if end_to_end else "local",
     )
+    s1 = jnp.where(a1_valid, ares.score, 0)
 
     aln_cols = jnp.maximum(1, ares.n_ops)
     identity = ares.matches.astype(jnp.float32) / aln_cols.astype(jnp.float32)
@@ -314,24 +339,35 @@ def map_step(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False, cs_axis=None,
 ) -> MapResult:
-    """Single-end mapping step (DESIGN.md rule 11 selection)."""
-    slot_cap = slot_cap or 2 * reads.shape[0]
-    sw, corr_start, strand, slots, n_cands, overflow = (
-        _candidates_and_scores(
-            genome, offsets, positions, reads, lengths, matrices,
-            gopen_q, gopen_r, gext, sensitivity, max_freq,
-            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-            diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
-            sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
-            packed_offsets=packed_offsets,
-        )
+    """Single-end mapping step (DESIGN.md rule 11 selection).
+
+    Lazy scoring: only reads with >= 2 candidates go through the score pass
+    (their [B, C] grid rows feed the argmax); a single-candidate read's
+    winner is its candidate 0 and its score comes from the traceback DP.
+    """
+    B = reads.shape[0]
+    slot_cap = slot_cap or B
+    corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets,
     )
-    a1 = jnp.argmax(sw, axis=1)  # first max = score DESC, fwd first, pos ASC
-    proper = jnp.zeros(sw.shape[0], dtype=bool)
+    sw, slot_ovf = _score_candidates(
+        genome, reads, rc, lengths, corr_start, strand, cand_valid,
+        n_cands >= 2, matrices, gopen_q, gopen_r, gext,
+        band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end,
+    )
+    overflow = (overflow[0], overflow[1] + slot_ovf)
+    # first max = score DESC, fwd first, pos ASC; all-zero (lazy) rows pick
+    # candidate 0 — the read's only candidate after prefix ordering
+    a1 = jnp.argmax(sw, axis=1)
+    proper = jnp.zeros(B, dtype=bool)
     return _finish(
-        a1, sw, corr_start, strand, slots, lengths, matrices,
-        gopen_q, gopen_r, gext, min_identity, min_residues,
+        a1, sw, corr_start, strand, cand_valid, genome, reads, rc, lengths,
+        matrices, gopen_q, gopen_r, gext, min_identity, min_residues,
         n_cands, overflow, proper, band=band, end_to_end=end_to_end,
     )
 
@@ -342,7 +378,8 @@ def map_step_topn(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2, cs_axis=None,
+    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2,
+    cs_axis=None,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
 
@@ -350,29 +387,39 @@ def map_step_topn(
     11 tie-breaking); entry j is valid for a read where its score > 0.  The
     host emitter applies --strata (keep only the top-score stratum) and
     near-duplicate suppression, and marks entries 1.. as SAM secondary.
+    Ranking needs every candidate's score, so scoring is eager here.
     """
-    slot_cap = slot_cap or 2 * reads.shape[0]
-    sw, corr_start, strand, slots, n_cands, overflow = (
-        _candidates_and_scores(
-            genome, offsets, positions, reads, lengths, matrices,
-            gopen_q, gopen_r, gext, sensitivity, max_freq,
-            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-            diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
-            sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
-            packed_offsets=packed_offsets,
-        )
+    B = reads.shape[0]
+    slot_cap = slot_cap or 2 * B
+    corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets,
     )
-    proper = jnp.zeros(sw.shape[0], dtype=bool)
+    sw, slot_ovf = _score_candidates(
+        genome, reads, rc, lengths, corr_start, strand, cand_valid,
+        jnp.ones(B, dtype=bool), matrices, gopen_q, gopen_r, gext,
+        band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end,
+    )
+    overflow = (overflow[0], overflow[1] + slot_ovf)
+    proper = jnp.zeros(B, dtype=bool)
     _, top_idx = jax.lax.top_k(sw, topn)   # stable: rule 11 order
-    return tuple(
-        _finish(
-            top_idx[:, j], sw, corr_start, strand, slots, lengths, matrices,
-            gopen_q, gopen_r, gext, min_identity, min_residues,
-            n_cands, overflow, proper, band=band, end_to_end=end_to_end,
-        )
-        for j in range(topn)
-    )
+    # entries past a read's candidate list land on zero-score grid cells;
+    # gate them out (via a score-positive validity grid) so they cannot
+    # alias candidate 0
+    results = []
+    for j in range(topn):
+        cv = cand_valid & (sw > 0) if j > 0 else cand_valid
+        results.append(_finish(
+            top_idx[:, j], sw, corr_start, strand, cv, genome, reads, rc,
+            lengths, matrices, gopen_q, gopen_r, gext, min_identity,
+            min_residues, n_cands, overflow, proper,
+            band=band, end_to_end=end_to_end,
+        ))
+    return tuple(results)
 
 
 @partial(jax.jit, static_argnames=_STATICS)
@@ -391,29 +438,42 @@ def map_step_paired(
     corridor positions (like the reference, pairing happens on scores before
     traceback).  Falls back to best singletons when no pair clears
     pair_cutoff * (best1 + best2) — the "broken pair" path.
+
+    Lazy scoring: a pair where BOTH mates have exactly one candidate has
+    nothing to compare — its only combination is (0, 0), whose propriety is
+    pure geometry (orientation + insert window) and whose scores come from
+    the traceback DP.
     """
-    slot_cap = slot_cap or 2 * reads.shape[0]
-    sw, corr_start, strand, slots, n_cands, overflow = (
-        _candidates_and_scores(
-            genome, offsets, positions, reads, lengths, matrices,
-            gopen_q, gopen_r, gext, sensitivity, max_freq,
-            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-            diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-            slot_cap=slot_cap, read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff,
-            sw_backend=sw_backend, end_to_end=end_to_end, cs_axis=cs_axis,
-            packed_offsets=packed_offsets,
-        )
+    B = reads.shape[0]
+    slot_cap = slot_cap or B
+    corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets,
     )
-    B, C = sw.shape
-    L = slots[1].shape[1]
+    C = corr_start.shape[1]
     P = B // 2
     bin_w = 1 << diag_bin_log2
+    L = reads.shape[1]
+
+    np_ = n_cands.reshape(P, 2)
+    pair_multi = (np_[:, 0] >= 2) | (np_[:, 1] >= 2)
+    sw, slot_ovf = _score_candidates(
+        genome, reads, rc, lengths, corr_start, strand, cand_valid,
+        jnp.repeat(pair_multi, 2), matrices, gopen_q, gopen_r, gext,
+        band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end,
+    )
+    overflow = (overflow[0], overflow[1] + slot_ovf)
 
     s = sw.reshape(P, 2, C)
     # approximate alignment start = corridor start + slack (candidate diagonal)
     slack = (band - 2 * bin_w) // 2
     pos = (corr_start + slack).reshape(P, 2, C)
     st = strand.reshape(P, 2, C)
+    exist = cand_valid.reshape(P, 2, C)
 
     s1m = s[:, 0, :, None]                     # [P, C, 1]
     s2m = s[:, 1, None, :]                     # [P, 1, C]
@@ -428,21 +488,28 @@ def map_step_paired(
     fwd_left = jnp.where(st1 == 0, p1 <= p2 + margin, p2 <= p1 + margin)
     span = jnp.abs(p2 - p1) + L                 # approximate outer distance
     ok_ins = (span >= min_insert - margin) & (span <= max_insert + margin)
-    valid = ok_orient & fwd_left & ok_ins & (s1m > 0) & (s2m > 0)
+    geo = ok_orient & fwd_left & ok_ins & exist[:, 0, :, None] & exist[:, 1, None, :]
+    valid = geo & (s1m > 0) & (s2m > 0)
     combined = jnp.where(valid, s1m + s2m, -1)  # [P, C, C]
 
     flat = combined.reshape(P, C * C)
     pair_best = jnp.max(flat, axis=1)
     pair_arg = jnp.argmax(flat, axis=1)         # first max: c1 ASC then c2 ASC
-    c1 = pair_arg // C
-    c2 = pair_arg % C
+    c1s = pair_arg // C
+    c2s = pair_arg % C
 
     best1 = jnp.max(s[:, 0], axis=1)
     best2 = jnp.max(s[:, 1], axis=1)
-    proper_pair = (pair_best > 0) & (
+    proper_scored = (pair_best > 0) & (
         pair_best.astype(jnp.float32)
         >= pair_cutoff * (best1 + best2).astype(jnp.float32)
     )
+    # single x single: the only combination is (0, 0); propriety is pure
+    # geometry (final `proper` is still gated by both mates mapping)
+    proper_single = geo[:, 0, 0] & (np_[:, 0] >= 1) & (np_[:, 1] >= 1)
+    proper_pair = jnp.where(pair_multi, proper_scored, proper_single)
+    c1 = jnp.where(pair_multi, c1s, 0)
+    c2 = jnp.where(pair_multi, c2s, 0)
 
     a_single = jnp.argmax(sw, axis=1).reshape(P, 2)
     sel1 = jnp.where(proper_pair, c1, a_single[:, 0])
@@ -451,8 +518,8 @@ def map_step_paired(
     proper = jnp.repeat(proper_pair, 2)
 
     return _finish(
-        a1, sw, corr_start, strand, slots, lengths, matrices,
-        gopen_q, gopen_r, gext, min_identity, min_residues,
+        a1, sw, corr_start, strand, cand_valid, genome, reads, rc, lengths,
+        matrices, gopen_q, gopen_r, gext, min_identity, min_residues,
         n_cands, overflow, proper, band=band, end_to_end=end_to_end,
     )
 
