@@ -193,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
                 a.reference, genome.codes, genome.sha1(),
                 k=a.kmer, skip=a.kmer_skip, max_freq=a.max_freq,
                 collapse=collapse,
+                canonical=(collapse == "none"
+                           and genome.codes.shape[0] < 2**30),
             )
         return 0
 

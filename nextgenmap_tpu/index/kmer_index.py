@@ -32,7 +32,7 @@ from nextgenmap_tpu.utils.logging import get_logger
 
 log = get_logger("ngm-tpu.index")
 
-INDEX_VERSION = 2
+INDEX_VERSION = 3  # v3: canonical entries (pos<<1|flip)
 _CHUNK = 1 << 24  # genome positions per build chunk
 
 
@@ -63,6 +63,30 @@ def kmer_values(codes: np.ndarray, k: int, collapse: str = "none"):
     return v, ok
 
 
+def kmer_values_canonical(codes: np.ndarray, k: int):
+    """Rolling canonical k-mers: (canon uint64, flip uint8, valid bool).
+
+    canon = min(kmer, revcomp(kmer)); flip = 1 where the revcomp form won.
+    Mirrors ops/kmer.py::extract_kmers_canonical and the device index build.
+    """
+    n = codes.shape[0]
+    if n < k:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, np.zeros(0, np.uint8), np.zeros(0, dtype=bool)
+    c = codes.astype(np.uint64)
+    m = n - k + 1
+    v = np.zeros(m, dtype=np.uint64)
+    rv = np.zeros(m, dtype=np.uint64)
+    ok = np.ones(m, dtype=bool)
+    for j in range(k):
+        w = c[j : j + m]
+        v = (v << np.uint64(2)) | (w & np.uint64(3))
+        rv = rv | ((np.uint64(3) - (w & np.uint64(3))) << np.uint64(2 * j))
+        ok &= w < 4
+    flip = (rv < v).astype(np.uint8)
+    return np.minimum(v, rv), flip, ok
+
+
 @dataclass
 class KmerIndex:
     k: int
@@ -72,6 +96,8 @@ class KmerIndex:
     genome_sha1: str
     offsets: np.ndarray    # int64 [4^k + 1], CSR row offsets
     positions: np.ndarray  # uint32 [total], genome positions grouped by k-mer
+                           # (canonical=True: (pos << 1) | flip entries)
+    canonical: bool = False
 
     @property
     def n_buckets(self) -> int:
@@ -104,8 +130,12 @@ class KmerIndex:
         max_freq: int = 1000,
         collapse: str = "none",
         genome_sha1: str = "",
+        canonical: bool = False,
     ) -> "KmerIndex":
         """Two-pass CSR build (vectorized numpy; one-time cost, memoized)."""
+        assert not (canonical and collapse != "none"), "canonical excludes collapse"
+        if canonical and genome_codes.shape[0] >= 2**30:
+            canonical = False  # (pos<<1) must fit int32 on device
         n = genome_codes.shape[0]
         nb = 4**k
         counts = np.zeros(nb, dtype=np.int64)
@@ -113,7 +143,11 @@ class KmerIndex:
         def chunks():
             for start in range(0, n, _CHUNK):
                 stop = min(n, start + _CHUNK + k - 1)
-                v, ok = kmer_values(genome_codes[start:stop], k, collapse)
+                if canonical:
+                    v, flips, ok = kmer_values_canonical(genome_codes[start:stop], k)
+                else:
+                    v, ok = kmer_values(genome_codes[start:stop], k, collapse)
+                    flips = None
                 if v.shape[0] == 0:
                     continue
                 # global stride: keep positions where (start + i) % skip == 0
@@ -122,10 +156,10 @@ class KmerIndex:
                 sel[i0::skip] = True
                 sel &= ok
                 idx = np.nonzero(sel)[0]
-                yield start, v[idx], idx
+                yield start, v[idx], idx, (flips[idx] if flips is not None else None)
 
         # pass 1: count
-        for _, v, _ in chunks():
+        for _, v, _, _ in chunks():
             np.add.at(counts, v.astype(np.int64), 1)
         # repeat masking: drop k-mers above the frequency cap entirely
         dropped = counts > max_freq
@@ -138,11 +172,13 @@ class KmerIndex:
         # pass 2: fill (positions appended in genome order per k-mer, so each
         # CSR row is sorted ascending — the determinism spec relies on this)
         cursor = offsets[:-1].copy()
-        for start, v, idx in chunks():
+        for start, v, idx, flips in chunks():
             vi = v.astype(np.int64)
             keep = ~dropped[vi]
             vi = vi[keep]
             pos = (start + idx[keep]).astype(np.uint32)
+            if canonical:
+                pos = (pos << np.uint32(1)) | flips[keep].astype(np.uint32)
             # stable per-chunk counting-sort insert (fully vectorized)
             order = np.argsort(vi, kind="stable")
             vi = vi[order]
@@ -167,19 +203,22 @@ class KmerIndex:
         return cls(
             k=k, skip=skip, max_freq=max_freq, collapse=collapse,
             genome_sha1=genome_sha1, offsets=offsets, positions=positions,
+            canonical=canonical,
         )
 
     # -- memoization (ref: <ref>-ht-<k>-<skip>.<v>.ngm artifacts) --
     @staticmethod
-    def cache_path(fasta_path: str, k: int, skip: int, collapse: str = "none") -> str:
+    def cache_path(fasta_path: str, k: int, skip: int, collapse: str = "none",
+                   canonical: bool = False) -> str:
         cs = "" if collapse == "none" else f"-{collapse}"
-        return f"{fasta_path}.ngmt-ht-{k}-{skip}{cs}.v{INDEX_VERSION}.npz"
+        cn = "-canon" if canonical else ""
+        return f"{fasta_path}.ngmt-ht-{k}-{skip}{cs}{cn}.v{INDEX_VERSION}.npz"
 
     def save(self, path: str) -> None:
         meta = {
             "version": INDEX_VERSION, "k": self.k, "skip": self.skip,
             "max_freq": self.max_freq, "collapse": self.collapse,
-            "genome_sha1": self.genome_sha1,
+            "genome_sha1": self.genome_sha1, "canonical": self.canonical,
         }
         np.savez(
             path, offsets=self.offsets, positions=self.positions,
@@ -196,22 +235,24 @@ class KmerIndex:
                 k=meta["k"], skip=meta["skip"], max_freq=meta["max_freq"],
                 collapse=meta["collapse"], genome_sha1=meta["genome_sha1"],
                 offsets=z["offsets"], positions=z["positions"],
+                canonical=meta.get("canonical", False),
             )
 
     @classmethod
     def open(
         cls, fasta_path: str, genome_codes: np.ndarray, genome_sha1: str,
         k: int, skip: int, max_freq: int, collapse: str = "none",
-        skip_save: bool = False,
+        skip_save: bool = False, canonical: bool = False,
     ) -> "KmerIndex":
-        cache = cls.cache_path(fasta_path, k, skip, collapse)
+        cache = cls.cache_path(fasta_path, k, skip, collapse, canonical)
         if os.path.exists(cache):
             idx = cls.load(cache)
             if idx.genome_sha1 == genome_sha1 and idx.max_freq == max_freq:
                 log.info("loaded k-mer index from %s", cache)
                 return idx
             log.warning("stale index cache (genome or params changed); rebuilding")
-        idx = cls.build(genome_codes, k, skip, max_freq, collapse, genome_sha1)
+        idx = cls.build(genome_codes, k, skip, max_freq, collapse, genome_sha1,
+                        canonical=canonical)
         if not skip_save:
             try:
                 idx.save(cache)

@@ -34,12 +34,16 @@ import numpy as np
 from nextgenmap_tpu.config import NgmConfig
 from nextgenmap_tpu.index.genome import Genome
 from nextgenmap_tpu.index.kmer_index import KmerIndex
-from nextgenmap_tpu.ops.candidate import candidate_search_dual
-from nextgenmap_tpu.ops.gather import gather_windows, pad_table, permute_small
+from nextgenmap_tpu.ops.candidate import (
+    candidate_search_canonical, candidate_search_dual,
+)
+from nextgenmap_tpu.ops.gather import (
+    gather_windows, pad_table, permute_small, take_rows_mxu,
+)
 from nextgenmap_tpu.ops.gather_pallas import (
     MAX_WINDOW, as_dma_table, dma_gather_windows,
 )
-from nextgenmap_tpu.ops.kmer import extract_kmers
+from nextgenmap_tpu.ops.kmer import extract_kmers, extract_kmers_canonical
 from nextgenmap_tpu.ops.scoring import score_matrix
 from nextgenmap_tpu.ops.sw_pallas import banded_sw_score_pallas
 from nextgenmap_tpu.ops.sw_ref import banded_sw_align, banded_sw_score
@@ -82,6 +86,7 @@ def _candidates(
     genome, offsets, positions, reads, lengths, sensitivity, max_freq,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
     read_stride=1, bs=False, bs_cutoff=0, cs_axis=None, packed_offsets=False,
+    canonical=False,
 ):
     """CS on both strands -> deterministically ordered candidate grid.
 
@@ -98,14 +103,6 @@ def _candidates(
     bin_w = 1 << diag_bin_log2
 
     rc = revcomp_batch(reads)
-    # bisulfite (SURVEY.md §2 component 22): the fwd pass is C->T tolerant
-    # (read and index CT-collapsed); the rc pass is G->A tolerant (the rc of
-    # an original-bottom-strand read shows G->A vs the fwd genome) and looks
-    # up the second, GA-collapsed CSR table
-    km_f, ok_f = extract_kmers(
-        reads, lengths, k, stride=read_stride,
-        collapse="ct" if bs else "none", max_collapsed=bs_cutoff if bs else 0,
-    )
     # the rc flip moves right-padding to the front for reads shorter than L;
     # shift each rc row left by (L - length) so rc reads start at column 0
     shift = (L - lengths)[:, None]
@@ -113,17 +110,40 @@ def _candidates(
     rc = jnp.take_along_axis(
         jnp.pad(rc, ((0, 0), (0, L)), constant_values=4), idx, axis=1
     )
-    km_r, ok_r = extract_kmers(
-        rc, lengths, k, stride=read_stride,
-        collapse="ga" if bs else "none", max_collapsed=bs_cutoff if bs else 0,
-    )
-
-    cand = candidate_search_dual(
-        km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
-        fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-        diag_bin_log2=diag_bin_log2, stride=read_stride, dual_tables=bs,
-        axis_name=cs_axis, packed_offsets=packed_offsets,
-    )
+    if canonical and not bs:
+        # ONE canonical lookup per window covers both strands — halves the
+        # offset-table gathers, the measured CS hot spot on v5e
+        canon, flip, ok_c = extract_kmers_canonical(
+            reads, lengths, k, stride=read_stride
+        )
+        cand = candidate_search_canonical(
+            canon, flip, ok_c, lengths, offsets, positions,
+            sensitivity, max_freq,
+            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+            diag_bin_log2=diag_bin_log2, stride=read_stride,
+            axis_name=cs_axis, packed_offsets=packed_offsets,
+        )
+    else:
+        # bisulfite (SURVEY.md §2 component 22): the fwd pass is C->T
+        # tolerant (read and index CT-collapsed); the rc pass is G->A
+        # tolerant (the rc of an original-bottom-strand read shows G->A vs
+        # the fwd genome) and looks up the second, GA-collapsed CSR table
+        km_f, ok_f = extract_kmers(
+            reads, lengths, k, stride=read_stride,
+            collapse="ct" if bs else "none",
+            max_collapsed=bs_cutoff if bs else 0,
+        )
+        km_r, ok_r = extract_kmers(
+            rc, lengths, k, stride=read_stride,
+            collapse="ga" if bs else "none",
+            max_collapsed=bs_cutoff if bs else 0,
+        )
+        cand = candidate_search_dual(
+            km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
+            fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+            diag_bin_log2=diag_bin_log2, stride=read_stride, dual_tables=bs,
+            axis_name=cs_axis, packed_offsets=packed_offsets,
+        )
     bucket, cs_score, strand = cand.bucket, cand.score, cand.strand
     cand_valid = cs_score >= max(1, min_kmer_hits)
 
@@ -199,15 +219,12 @@ def _score_candidates(
     corr_starts = jnp.where(slot_valid, corr_start_s, 0)
     q2 = jnp.concatenate([reads, rc], axis=0)                 # [2B, L]
     qrow = strand_s * B + jnp.where(slot_valid, b_of, 0)
-    if _use_dma(T, L):
+    if _use_dma(T):
         corr_s = dma_gather_windows(as_dma_table(genome), corr_starts, T)
-        # pad query rows to a 128 stride so windows start lane-aligned
-        Lp = ((L + 127) // 128) * 128
-        q2p = jnp.pad(q2, ((0, 0), (0, Lp - L)), constant_values=4)
-        q_s = dma_gather_windows(as_dma_table(q2p.reshape(-1)), qrow * Lp, L)
     else:
         corr_s = gather_windows(pad_table(genome, T, 4), corr_starts, T)
-        q_s = gather_windows(q2.reshape(-1), qrow * L, L)
+    # slot query rows: one-hot matmul on the MXU beats per-row gathers
+    q_s = take_rows_mxu(q2, qrow)
     corr_s = jnp.where(slot_valid[:, None], corr_s, 4)        # [S, T]
 
     # score every compacted candidate (ref: IAlignment::BatchScore)
@@ -267,18 +284,12 @@ def _finish(
     s2 = jnp.max(jnp.where(far, sw, 0), axis=1)
 
     starts = jnp.clip(jnp.where(a1_valid, best_start, 0), 0, max(0, G - T))
-    q2 = jnp.concatenate([reads, rc], axis=0)                 # [2B, L]
-    qrow = best_strand * B + jnp.arange(B, dtype=jnp.int32)
-    if _use_dma(T, L):
+    if _use_dma(T):
         best_corr = dma_gather_windows(as_dma_table(genome), starts, T)
-        Lp = ((L + 127) // 128) * 128
-        q2p = jnp.pad(q2, ((0, 0), (0, Lp - L)), constant_values=4)
-        best_query = dma_gather_windows(
-            as_dma_table(q2p.reshape(-1)), qrow * Lp, L
-        )
     else:
         best_corr = gather_windows(pad_table(genome, T, 4), starts, T)
-        best_query = gather_windows(q2.reshape(-1), qrow * L, L)
+    # winner query row is row-aligned in (reads | rc): a select, not a gather
+    best_query = jnp.where((best_strand == 1)[:, None], rc, reads)
     ares = banded_sw_align(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
@@ -327,7 +338,7 @@ def _finish(
 _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
     "min_kmer_hits", "slot_cap", "read_stride", "bs", "bs_cutoff",
-    "sw_backend", "end_to_end", "cs_axis", "packed_offsets",
+    "sw_backend", "end_to_end", "cs_axis", "packed_offsets", "canonical",
 )
 
 
@@ -337,7 +348,8 @@ def map_step(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False, cs_axis=None,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection).
 
@@ -346,13 +358,15 @@ def map_step(
     winner is its candidate 0 and its score comes from the traceback DP.
     """
     B = reads.shape[0]
-    slot_cap = slot_cap or B
+    # lazy scoring rarely needs many slots (most reads have 1 candidate);
+    # overflow is counted, so a repeat-dense genome is visible, not silent
+    slot_cap = slot_cap or max(512, B // 2)
     corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
-        packed_offsets=packed_offsets,
+        packed_offsets=packed_offsets, canonical=canonical,
     )
     sw, slot_ovf = _score_candidates(
         genome, reads, rc, lengths, corr_start, strand, cand_valid,
@@ -379,7 +393,7 @@ def map_step_topn(
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2,
-    cs_axis=None,
+    canonical=False, cs_axis=None,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
 
@@ -396,7 +410,7 @@ def map_step_topn(
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
-        packed_offsets=packed_offsets,
+        packed_offsets=packed_offsets, canonical=canonical,
     )
     sw, slot_ovf = _score_candidates(
         genome, reads, rc, lengths, corr_start, strand, cand_valid,
@@ -429,7 +443,8 @@ def map_step_paired(
     min_insert, max_insert, pair_cutoff,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False, cs_axis=None,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -445,13 +460,15 @@ def map_step_paired(
     the traceback DP.
     """
     B = reads.shape[0]
-    slot_cap = slot_cap or B
+    # lazy scoring rarely needs many slots (most reads have 1 candidate);
+    # overflow is counted, so a repeat-dense genome is visible, not silent
+    slot_cap = slot_cap or max(512, B // 2)
     corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
-        packed_offsets=packed_offsets,
+        packed_offsets=packed_offsets, canonical=canonical,
     )
     C = corr_start.shape[1]
     P = B // 2
@@ -540,6 +557,13 @@ class Mapper:
 
     def __post_init__(self):
         self._genome_dev = jax.device_put(jnp.asarray(self.genome.codes))
+        # canonical k-mer indexing (one lookup serves both strands) whenever
+        # possible: not bisulfite (strand-asymmetric collapses) and the
+        # (pos << 1) encoding fits int32
+        self._canonical = (
+            not self.cfg.bs_mapping
+            and self.genome.codes.shape[0] < 2**30
+        )
         if self.cfg.bs_mapping:
             # two collapsed CSR tables, concatenated: fwd pass looks up the
             # CT table, rc pass the GA table (offsets pre-shifted into the
@@ -568,9 +592,11 @@ class Mapper:
 
             off, pos = build_index_device(
                 self._genome_dev, k=self.cfg.kmer, skip=self.cfg.kmer_skip,
+                canonical=self._canonical,
             )
             self._off_dev, self._pos_dev = off, pos
         else:
+            self._canonical = getattr(self.index, "canonical", False)
             off, pos = self.index.device_arrays()
             self._off_dev = jax.device_put(jnp.asarray(off))
             self._pos_dev = jax.device_put(jnp.asarray(pos))
@@ -631,6 +657,7 @@ class Mapper:
             sw_backend=cfg.sw_backend,
             end_to_end=cfg.end_to_end,
             packed_offsets=self._packed_offsets,
+            canonical=self._canonical,
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:

@@ -93,7 +93,7 @@ def pack_offsets(offsets: jax.Array, max_freq, fanout_cap: int):
 
 def _compact_hits(
     km, ok, offsets, positions, max_freq,
-    *, fanout_cap, hit_cap, table_split=0, packed_offsets=False,
+    *, fanout_cap, hit_cap, table_split=0, packed_offsets=False, payload=None,
 ):
     """Compact the ragged CSR fan-out of a kmer batch into [B, H] hit slots.
 
@@ -147,7 +147,12 @@ def _compact_hits(
     o0_at = jnp.sum(jnp.where(onehot, o0[:, None, :], 0), axis=2)
     pidx = o0_at + (harange - cum_at)
     pos = positions[jnp.where(valid, pidx, 0)]           # [B, H] — the ONE gather
-    return pos, qid, valid, fanout_overflow, hit_overflow
+    if payload is None:
+        return pos, qid, valid, fanout_overflow, hit_overflow
+    # per-kmer payload (e.g. canonical flip bit) carried to each hit via the
+    # same onehot — VPU work, not a gather
+    pay_at = jnp.sum(jnp.where(onehot, payload[:, None, :], 0), axis=2)
+    return pos, qid, valid, fanout_overflow, hit_overflow, pay_at
 
 
 def _select_candidates(votes, sensitivity, max_cmrs, axis_name):
@@ -251,6 +256,81 @@ def candidate_search_dual(
     # double-vote: a hit in bucket b votes for b (direct, LSB=1) AND b−1
     # (merge vote, LSB=0), so the vote count of b is hits(b) + hits(b+1) —
     # the adjacent-bin pair merge — and pure-phantom buckets are detectable
+    vote_hi = jnp.where(valid, 2 * vote + 1, SENTINEL)
+    vote_lo = jnp.where(valid, 2 * (vote - 1), SENTINEL)
+    votes = jnp.concatenate([vote_hi, vote_lo], axis=1)  # [B, 2H]
+
+    top_vote, top_score, best, co = _select_candidates(
+        votes, sensitivity, max_cmrs, axis_name
+    )
+    got = top_score > 0
+    top_vote = top_vote >> 1
+    top_strand = jnp.where(got, top_vote // _STRAND_OFF, 0)
+    top_bucket = jnp.where(
+        got, top_vote - top_strand * _STRAND_OFF - _BIAS, SENTINEL
+    )
+    return Candidates(
+        bucket=top_bucket,
+        score=top_score,
+        strand=top_strand,
+        best_score=best,
+        fanout_overflow=fo,
+        hit_overflow=ho,
+        cmr_overflow=co,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride",
+        "axis_name", "packed_offsets",
+    ),
+)
+def candidate_search_canonical(
+    canon: jax.Array,        # [B, Q] int32 canonical k-mers of the FWD read
+    flip: jax.Array,         # [B, Q] int32 1 where the read k-mer was flipped
+    ok: jax.Array,           # [B, Q] bool
+    lengths: jax.Array,      # [B] int32
+    offsets: jax.Array,
+    positions: jax.Array,    # [P] int32 (pos << 1 | genome-flip) entries
+    sensitivity: jax.Array,
+    max_freq: jax.Array,
+    *,
+    k: int,
+    fanout_cap: int,
+    hit_cap: int,
+    max_cmrs: int,
+    diag_bin_log2: int,
+    stride: int = 1,
+    axis_name: str | None = None,
+    packed_offsets: bool = False,
+) -> Candidates:
+    """Both strands from ONE canonical lookup per read k-mer.
+
+    The index stores (pos << 1 | flip) under min(kmer, revcomp(kmer))
+    (index/device_build.py canonical=True).  A hit's strand is
+    read-flip XOR stored-flip; the reverse-strand diagonal uses the k-mer's
+    offset in the REVERSE-COMPLEMENTED read, len - k - offset — the same
+    diagonal space as the two-strand search.  Ordering/threshold semantics
+    are identical to candidate_search_dual.
+    """
+    B, Q = canon.shape
+    out = _compact_hits(
+        canon, ok, offsets, positions, max_freq,
+        fanout_cap=fanout_cap, hit_cap=hit_cap,
+        packed_offsets=packed_offsets, payload=flip,
+    )
+    pos_e, qid, valid, fo, ho, yflip = out
+    p = pos_e >> 1
+    gflip = pos_e & 1
+    strand = yflip ^ gflip                               # [B, H]
+    qoff = qid * stride
+    rc_off = lengths[:, None] - k - qoff
+    diag = jnp.where(strand == 0, p - qoff, p - rc_off)
+    bucket = diag >> diag_bin_log2
+    vote = strand * _STRAND_OFF + bucket + _BIAS
+
     vote_hi = jnp.where(valid, 2 * vote + 1, SENTINEL)
     vote_lo = jnp.where(valid, 2 * (vote - 1), SENTINEL)
     votes = jnp.concatenate([vote_hi, vote_lo], axis=1)  # [B, 2H]

@@ -67,6 +67,27 @@ def permute_small(values: jax.Array, order: jax.Array) -> jax.Array:
     ).astype(values.dtype)
 
 
+def take_rows_mxu(stack: jax.Array, rows: jax.Array) -> jax.Array:
+    """stack[rows[m], :] for small-code uint8 tables, on the MXU.
+
+    A one-hot [M, N] bf16 matmul against the [N, L] table replaces M
+    per-row window gathers (~0.57 µs each even via DMA) with one matmul
+    (~tens of µs).  Exact: one-hot entries and codes 0..4 are exact in
+    bf16 and each output element sums exactly one nonzero product.
+    """
+    N = stack.shape[0]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], N), 1)
+        == rows[:, None]
+    ).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        onehot, stack.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.uint8)
+
+
 def select_rows(stack: jax.Array, sel: jax.Array) -> jax.Array:
     """stack[b, sel[b], :] without an element-serial gather.
 

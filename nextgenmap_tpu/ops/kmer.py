@@ -79,3 +79,31 @@ def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1,
     qpos = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1) * stride
     ok &= qpos + k <= lengths[:, None]
     return vals, ok
+
+
+@partial(jax.jit, static_argnames=("k", "stride"))
+def extract_kmers_canonical(codes: jax.Array, lengths: jax.Array, k: int,
+                            stride: int = 1):
+    """Canonical k-mers of the FORWARD read only.
+
+    canonical = min(kmer, revcomp(kmer)); one index lookup covers both
+    strands (element gathers are the CS hot spot — this halves them vs the
+    two-strand enumeration).  Returns (canon [B,Q] int32, flip [B,Q] int32
+    1 where revcomp(kmer) < kmer, valid [B,Q] bool).
+    """
+    B, L = codes.shape
+    Q = max(1, (L - k) // stride + 1)
+    c = codes.astype(jnp.int32)
+    vals = jnp.zeros((B, Q), dtype=jnp.int32)
+    rvals = jnp.zeros((B, Q), dtype=jnp.int32)
+    ok = jnp.ones((B, Q), dtype=bool)
+    for j in range(k):
+        w = jax.lax.slice(c, (0, j), (B, j + (Q - 1) * stride + 1), (1, stride))
+        vals = (vals << 2) | (w & 3)
+        rvals = rvals | ((3 - (w & 3)) << (2 * j))
+        ok &= w < 4
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1) * stride
+    ok &= qpos + k <= lengths[:, None]
+    flip = (rvals < vals).astype(jnp.int32)
+    canon = jnp.minimum(vals, rvals)
+    return canon, flip, ok

@@ -36,7 +36,10 @@ def load_reference(cfg: NgmConfig, ref_path: str):
     import os
 
     def try_load(collapse: str) -> KmerIndex | None:
-        cache = KmerIndex.cache_path(ref_path, cfg.kmer, cfg.kmer_skip, collapse)
+        cache = KmerIndex.cache_path(
+            ref_path, cfg.kmer, cfg.kmer_skip, collapse,
+            canonical=(collapse == "none"),
+        )
         if os.path.exists(cache):
             index = KmerIndex.load(cache)
             if index.genome_sha1 == genome.sha1():

@@ -97,3 +97,60 @@ def test_chunk_boundary_consistency():
     b = KmerIndex.build(codes, k=8, skip=3, max_freq=99)
     assert np.array_equal(a.offsets, b.offsets)
     assert np.array_equal(a.positions, b.positions)
+
+
+def test_canonical_index_and_lookup():
+    """Canonical rows hold both strands' windows; flip bits decode strand."""
+    import numpy as np
+
+    from nextgenmap_tpu.index.kmer_index import (
+        KmerIndex, kmer_values, kmer_values_canonical,
+    )
+    from nextgenmap_tpu.io.simulate import random_genome
+
+    g = random_genome(5_000, seed=61)
+    k = 9
+    idx = KmerIndex.build(g, k=k, skip=1, max_freq=1000, canonical=True)
+    v, ok = kmer_values(g, k)
+    cv, cf, cok = kmer_values_canonical(g, k)
+    assert (ok == cok).all()
+    # canonical value must equal min(v, revcomp(v)) computed independently
+    def rc_val(x):
+        r = 0
+        for j in range(k):
+            r = (r << 2) | (3 - (x & 3))
+            x >>= 2
+        return r
+    for i in range(0, 4000, 137):
+        if not ok[i]:
+            continue
+        rv = rc_val(int(v[i]))
+        assert int(cv[i]) == min(int(v[i]), rv)
+        assert int(cf[i]) == (1 if rv < int(v[i]) else 0)
+        # the canonical row contains this window's encoded entry
+        entries = idx.lookup(int(cv[i]))
+        want = (i << 1) | int(cf[i])
+        assert want in entries.tolist()
+    # every stored entry decodes to a real window of the right canon value
+    total = int(idx.offsets[-1])
+    assert total == int(cok.sum())
+
+
+def test_canonical_device_matches_host():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nextgenmap_tpu.index.device_build import build_index_device
+    from nextgenmap_tpu.index.kmer_index import KmerIndex
+    from nextgenmap_tpu.io.simulate import random_genome
+
+    g = random_genome(4_000, seed=62)
+    k = 8
+    host = KmerIndex.build(g, k=k, skip=1, max_freq=10**9, canonical=True)
+    off_d, pos_d = build_index_device(jnp.asarray(g), k=k, skip=1,
+                                      canonical=True)
+    off_d = np.asarray(off_d)
+    pos_d = np.asarray(pos_d)
+    nb = 4**k
+    assert (off_d[: nb + 1] == host.offsets).all()
+    assert (pos_d[: int(host.offsets[-1])] == host.positions.astype(np.int64)).all()
