@@ -53,7 +53,9 @@ def main() -> None:
     genome_d = jax.device_put(jnp.asarray(g))
     from nextgenmap_tpu.index.device_build import build_index_device
 
-    off_d, pos_d = build_index_device(genome_d, k=cfg.kmer, skip=cfg.kmer_skip)
+    off_d, pos_d = build_index_device(
+        genome_d, k=cfg.kmer, skip=cfg.kmer_skip, canonical=True
+    )
     jax.block_until_ready(pos_d)
     log(f"index built on device in {time.time() - t0:.1f}s ({pos_d.shape[0]} positions)")
     # single-gather packed offsets, as the production Mapper uses
@@ -75,7 +77,7 @@ def main() -> None:
         hit_cap=cfg.resolved_read_hits(int(pos_d.shape[0]), READ_LEN),
         max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
-        packed_offsets=packed_offsets,
+        packed_offsets=packed_offsets, canonical=True,
     )
 
     mats_d = jnp.asarray(mats)

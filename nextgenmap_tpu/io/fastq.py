@@ -51,8 +51,43 @@ class ReadBatch:
         return self.codes.shape[1]
 
 
+def _iter_sam_reads(lines) -> Iterator[ReadRecord]:
+    """Read records out of SAM text input (ref component 14's BAM/SAM input
+    path): QNAME/SEQ/QUAL columns; secondary/supplementary records are
+    skipped; reverse-flagged records are restored to original orientation.
+    Mate order within a QNAME follows FLAG 0x40/0x80 so -p interleaving
+    works on name-grouped SAM files.
+    """
+    from nextgenmap_tpu.io.encode import revcomp_codes
+
+    for line in lines:
+        if line.startswith(b"@"):
+            continue
+        f = line.rstrip(b"\n").split(b"\t")
+        if len(f) < 11 or f[9] in (b"*", b""):
+            continue
+        flag = int(f[1])
+        if flag & (0x100 | 0x800):  # secondary/supplementary: not a read
+            continue
+        codes = encode_seq(f[9])
+        qual = None if f[10] == b"*" else bytes(f[10])
+        if flag & 0x10:  # stored reverse-complemented; restore original
+            codes = revcomp_codes(codes)
+            qual = qual[::-1] if qual is not None else None
+        name = f[0].decode("ascii")
+        if flag & 0x1:
+            name += "/1" if flag & 0x40 else "/2"
+        yield ReadRecord(name, codes, qual)
+
+
+def _looks_like_sam(first_line: bytes) -> bool:
+    if first_line[:4] in (b"@HD\t", b"@SQ\t", b"@RG\t", b"@PG\t", b"@CO\t"):
+        return True
+    return first_line.count(b"\t") >= 10
+
+
 def iter_reads(path: str) -> Iterator[ReadRecord]:
-    """Stream FASTQ or FASTA records (auto-detected, gz ok)."""
+    """Stream FASTQ, FASTA, or SAM records (auto-detected, gz ok)."""
     with _open_text(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         if not first:
@@ -63,6 +98,16 @@ def iter_reads(path: str) -> Iterator[ReadRecord]:
             rest = itertools.chain([line], f)
         else:
             rest = f
+        if path.endswith((".sam", ".sam.gz")):
+            yield from _iter_sam_reads(rest)
+            return
+        if first == b"@":
+            # '@' opens both FASTQ and SAM headers; peek one line to decide
+            line = next(iter(rest), b"")
+            if _looks_like_sam(line):
+                yield from _iter_sam_reads(itertools.chain([line], rest))
+                return
+            rest = itertools.chain([line], rest)
         if first == b">":
             # FASTA reads
             name, chunks = None, []
@@ -189,13 +234,23 @@ def _batch_single_native(
         yield ReadBatch(codes, lengths, names, quals, n=fill)
 
 
+def _is_sam_input(path: str) -> bool:
+    if path.endswith((".sam", ".sam.gz")):
+        return True
+    try:
+        with _open_text(path) as f:
+            return _looks_like_sam(f.readline())
+    except OSError:
+        return False
+
+
 def batch_single(
     path: str, batch_size: int, read_len: int, skip: int = 0, count: int = 0
 ) -> Iterator[ReadBatch]:
     """Single-end: pack reads into [B, L] batches (last one padded)."""
     from nextgenmap_tpu import native
 
-    if native.lib() is not None:
+    if native.lib() is not None and not _is_sam_input(path):
         yield from _batch_single_native(path, batch_size, read_len, skip, count)
         return
     buf: list[ReadRecord] = []

@@ -1,0 +1,61 @@
+"""SAM-format read input (SURVEY.md §2 component 14's BAM/SAM input path)."""
+
+from nextgenmap_tpu.cli import main
+from nextgenmap_tpu.io.encode import decode_seq
+from nextgenmap_tpu.io.fasta import write_fasta
+from nextgenmap_tpu.io.fastq import iter_reads
+from nextgenmap_tpu.io.simulate import random_genome, simulate_reads, write_fastq
+
+
+def _fastq_to_sam(fq_path, sam_path, revcomp_every=3):
+    """Make an unaligned-style SAM from a FASTQ; every Nth record is stored
+    reverse-complemented with FLAG 0x10 to test orientation restoration."""
+    import numpy as np
+
+    from nextgenmap_tpu.io.encode import encode_seq, revcomp_codes
+
+    recs = list(iter_reads(fq_path))
+    with open(sam_path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unsorted\n@SQ\tSN:chrX\tLN:99999\n")
+        for i, r in enumerate(recs):
+            codes, qual, flag = r.codes, r.qual or b"I" * len(r.codes), 4
+            if i % revcomp_every == 0:
+                codes = revcomp_codes(codes)
+                qual = qual[::-1]
+                flag = 16
+            f.write(
+                f"{r.name}\t{flag}\tchrX\t1\t0\t*\t*\t0\t0\t"
+                f"{decode_seq(codes)}\t{qual.decode('ascii')}\n"
+            )
+    return recs
+
+
+def test_sam_input_round_trip(tmp_path):
+    g = random_genome(20_000, seed=91)
+    fq = tmp_path / "r.fq"
+    write_fastq(str(fq), simulate_reads(g, 50, read_len=80, seed=92))
+    sam_in = tmp_path / "r.sam"
+    orig = _fastq_to_sam(str(fq), str(sam_in))
+    got = list(iter_reads(str(sam_in)))
+    assert len(got) == len(orig)
+    for a, b in zip(orig, got):
+        assert a.name == b.name
+        assert (a.codes == b.codes).all()   # orientation restored
+        assert (a.qual or b"I" * len(a.codes)) == b.qual
+
+
+def test_map_from_sam_input(tmp_path):
+    g = random_genome(30_000, seed=93)
+    write_fasta(str(tmp_path / "ref.fa"), [("chr1", decode_seq(g))])
+    fq = tmp_path / "reads.fq"
+    write_fastq(str(fq), simulate_reads(g, 120, read_len=100,
+                                        snp_rate=0.02, seed=94))
+    _fastq_to_sam(str(fq), str(tmp_path / "reads.sam"))
+    for src, out in (("reads.fq", "a.sam"), ("reads.sam", "b.sam")):
+        rc = main(["map", "-r", str(tmp_path / "ref.fa"),
+                   "-q", str(tmp_path / src), "-o", str(tmp_path / out),
+                   "-k", "11", "--batch-size", "64", "--no-progress",
+                   "--skip-save"])
+        assert rc == 0
+    recs = lambda p: [l for l in open(tmp_path / p) if not l.startswith("@")]
+    assert recs("a.sam") == recs("b.sam")   # same mapping from either input
