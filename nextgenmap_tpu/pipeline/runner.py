@@ -50,7 +50,18 @@ def load_reference(cfg: NgmConfig, ref_path: str):
     if cfg.bs_mapping:
         ct, ga = try_load("ct"), try_load("ga")
         return genome, (ct, ga) if ct and ga else None
-    return genome, try_load("none")
+    idx = try_load("none")
+    # the device build's sort needs ~25x the genome in HBM; beyond ~256 Mbp
+    # build on the host instead (memoized, like the reference's .ngm files)
+    if idx is None and genome.codes.shape[0] > (1 << 28):
+        log.info("large genome: building k-mer index on host (one-time)")
+        idx = KmerIndex.open(
+            ref_path, genome.codes, genome.sha1(),
+            k=cfg.kmer, skip=cfg.kmer_skip, max_freq=cfg.max_kmer_freq,
+            skip_save=cfg.skip_save,
+            canonical=genome.codes.shape[0] < 2**30,
+        )
+    return genome, idx
 
 
 def _emit_single_native(writer: SamWriter, batch: ReadBatch, res: MapResult,
@@ -218,6 +229,38 @@ def emit_single_topn(writer: SamWriter, batch: ReadBatch, results: tuple,
                 c["ops"][i], no, int(c["q_start"][i]), int(c["q_end"][i]),
                 ident, flag_extra=0 if j == 0 else FLAG_SECONDARY,
             )
+
+
+def _prefetch(it, depth: int = 2):
+    """Run a generator on a background thread, `depth` items ahead.
+
+    Reference analog: the ReadProvider feeding worker threads
+    (ref:src/ReadProvider.cpp) — here one parse thread keeps fixed-shape
+    batches ready so FASTQ parsing overlaps device compute.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # surface parse errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def run_mapping(
@@ -389,6 +432,21 @@ def run_mapping(
     import jax as _jx
     if profile_dir:
         _jx.profiler.start_trace(profile_dir)
+    def after_emit(res, batch):
+        account(res, batch)
+        record_batch_lines()
+        save_progress()
+        if not cfg.no_progress:
+            log.info(
+                "processed %d reads (%.0f reads/s, %.2f GCUPS)",
+                stats.reads_in, stats.reads_per_sec(), stats.gcups(),
+            )
+
+    # software pipeline (the reference's double-buffering analog,
+    # SURVEY.md §2 component 14): a parse thread keeps batches ready, and
+    # batch i+1 is DISPATCHED to the device (async under JAX) before batch
+    # i's results are fetched/emitted on the host — parse, device compute,
+    # and SAM formatting overlap
     if not paired:
         topn = max(1, cfg.topn)
         batches = batch_single(qry, cfg.batch_size, read_len, skip, count)
@@ -396,45 +454,51 @@ def run_mapping(
             from nextgenmap_tpu.parallel.distributed import shard_batches
 
             batches = shard_batches(batches, cfg.dist_procid, cfg.dist_nprocs)
-        for batch in batches:
+
+        def emit(pending):
+            batch, res = pending
             if topn > 1:
-                results = mapper.map_batch_topn(batch.codes, batch.lengths)
-                account(results[0], batch)
-                emit_single_topn(writer, batch, results, stats,
+                emit_single_topn(writer, batch, res, stats,
                                  cfg.strata, read_len)
+                after_emit(res[0], batch)
             else:
-                res = mapper.map_batch(batch.codes, batch.lengths)
-                account(res, batch)
                 emit_single(writer, batch, res, stats)
-            record_batch_lines()
-            save_progress()
-            if not cfg.no_progress:
-                log.info(
-                    "processed %d reads (%.0f reads/s, %.2f GCUPS)",
-                    stats.reads_in, stats.reads_per_sec(), stats.gcups(),
-                )
+                after_emit(res, batch)
+
+        pending = None
+        for batch in _prefetch(batches):
+            res = (
+                mapper.map_batch_topn(batch.codes, batch.lengths)
+                if topn > 1 else mapper.map_batch(batch.codes, batch.lengths)
+            )
+            if pending is not None:
+                emit(pending)
+            pending = (batch, res)
+        if pending is not None:
+            emit(pending)
     else:
-        from nextgenmap_tpu.pair.resolve import map_paired_batch
+        from nextgenmap_tpu.pair.resolve import emit_paired
 
         if skip % 2 or count % 2:
             raise ValueError("paired qry-start/qry-count/resume must be even")
-        src = batch_paired(qry1 or qry, qry2, cfg.batch_size, read_len,
-                           skip, count)
+        batches = batch_paired(qry1 or qry, qry2, cfg.batch_size, read_len,
+                               skip, count)
         if dist:
             from nextgenmap_tpu.parallel.distributed import shard_batches
 
-            src = shard_batches(src, cfg.dist_procid, cfg.dist_nprocs)
-        for batch in src:
-            res = map_paired_batch(mapper, writer, batch, stats)
-            if res is not None:
-                account(res, batch)
-            record_batch_lines()
-            save_progress()
-            if not cfg.no_progress:
-                log.info(
-                    "processed %d reads (%.0f reads/s, %.2f GCUPS)",
-                    stats.reads_in, stats.reads_per_sec(), stats.gcups(),
-                )
+            batches = shard_batches(batches, cfg.dist_procid, cfg.dist_nprocs)
+        pending = None
+        for batch in _prefetch(batches):
+            res = mapper.map_batch_paired(batch.codes, batch.lengths)
+            if pending is not None:
+                pb, pr = pending
+                emit_paired(writer, pb, pr, stats)
+                after_emit(pr, pb)
+            pending = (batch, res)
+        if pending is not None:
+            pb, pr = pending
+            emit_paired(writer, pb, pr, stats)
+            after_emit(pr, pb)
     if profile_dir:
         _jx.profiler.stop_trace()
         log.info("profiler trace written to %s", profile_dir)
