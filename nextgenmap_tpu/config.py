@@ -138,10 +138,13 @@ class NgmConfig:
         exp_row = n_positions / float(4 ** self.kmer)
         # the cap covers BOTH strands (2x kmers_per_read lookups); 1.5x the
         # expected row length covers the Poisson tail (validated on a
-        # chr20-scale genome where 1.25x still overflowed)
+        # chr20-scale genome where 1.25x still overflowed).  The 2048
+        # ceiling bounds the [B, H, kmers] compaction tensors; if the
+        # estimate exceeds it (gigabase genome at k=13), raise k to 14 or
+        # shard the index — the overflow counters make the truncation loud
         per_row = min(float(self.max_kmer_fanout), max(1.25, 1.5 * exp_row))
         est = 2 * self.kmers_per_read(read_len) * per_row
-        return max(128, min(512, _round_up(int(est), 64)))
+        return max(128, min(2048, _round_up(int(est), 64)))
 
     def kmers_per_read(self, read_len: int) -> int:
         return max(1, (read_len - self.kmer) // self.read_kmer_skip + 1)

@@ -158,9 +158,9 @@ class KmerIndex:
                 idx = np.nonzero(sel)[0]
                 yield start, v[idx], idx, (flips[idx] if flips is not None else None)
 
-        # pass 1: count
+        # pass 1: count (bincount ~10x faster than np.add.at scatter)
         for _, v, _, _ in chunks():
-            np.add.at(counts, v.astype(np.int64), 1)
+            counts += np.bincount(v.astype(np.int64), minlength=nb)
         # repeat masking: drop k-mers above the frequency cap entirely
         dropped = counts > max_freq
         n_dropped = int(dropped.sum())
