@@ -231,6 +231,25 @@ def emit_single_topn(writer: SamWriter, batch: ReadBatch, results: tuple,
             )
 
 
+def _start_fetch(res):
+    """Kick off device->host copies for every result leaf, concurrently.
+
+    Without this, each np.asarray in the emitter is a separate synchronous
+    device roundtrip (measured ~25 ms each through the axon tunnel; a PCIe
+    hop on real hardware) — serialized, they dominate the steady state.
+    Issued right after dispatch, the copies overlap the NEXT batch's device
+    compute and each other.
+    """
+    import jax as _j
+
+    for leaf in _j.tree_util.tree_leaves(res):
+        try:
+            leaf.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+    return res
+
+
 def _prefetch(it, depth: int = 2):
     """Run a generator on a background thread, `depth` items ahead.
 
@@ -467,7 +486,7 @@ def run_mapping(
 
         pending = None
         for batch in _prefetch(batches):
-            res = (
+            res = _start_fetch(
                 mapper.map_batch_topn(batch.codes, batch.lengths)
                 if topn > 1 else mapper.map_batch(batch.codes, batch.lengths)
             )
@@ -489,7 +508,9 @@ def run_mapping(
             batches = shard_batches(batches, cfg.dist_procid, cfg.dist_nprocs)
         pending = None
         for batch in _prefetch(batches):
-            res = mapper.map_batch_paired(batch.codes, batch.lengths)
+            res = _start_fetch(
+                mapper.map_batch_paired(batch.codes, batch.lengths)
+            )
             if pending is not None:
                 pb, pr = pending
                 emit_paired(writer, pb, pr, stats)
