@@ -59,3 +59,38 @@ def test_map_from_sam_input(tmp_path):
         assert rc == 0
     recs = lambda p: [l for l in open(tmp_path / p) if not l.startswith("@")]
     assert recs("a.sam") == recs("b.sam")   # same mapping from either input
+
+
+def test_gz_and_fasta_read_inputs(tmp_path):
+    """.fq.gz and FASTA-format reads map identically to plain FASTQ
+    (SURVEY.md §2 component 14: kseq handles all three upstream)."""
+    import gzip
+
+    g = random_genome(25_000, seed=95)
+    write_fasta(str(tmp_path / "ref.fa"), [("chr1", decode_seq(g))])
+    reads = simulate_reads(g, 80, read_len=90, snp_rate=0.02, seed=96)
+    write_fastq(str(tmp_path / "r.fq"), reads)
+    with open(tmp_path / "r.fq", "rb") as f:
+        with gzip.open(tmp_path / "r.fq.gz", "wb") as z:
+            z.write(f.read())
+    with open(tmp_path / "r.fa", "w") as f:
+        for r in reads:
+            f.write(f">{r.name}\n{decode_seq(r.codes)}\n")
+
+    outs = {}
+    for src in ("r.fq", "r.fq.gz", "r.fa"):
+        out = src.replace(".", "_") + ".sam"
+        rc = main(["map", "-r", str(tmp_path / "ref.fa"),
+                   "-q", str(tmp_path / src), "-o", str(tmp_path / out),
+                   "-k", "11", "--batch-size", "64", "--no-progress",
+                   "--skip-save"])
+        assert rc == 0
+        outs[src] = [
+            l.split("\t") for l in open(tmp_path / out) if not l.startswith("@")
+        ]
+    assert len(outs["r.fq"]) == 80
+    # gz identical; FASTA identical except QUAL column ('*')
+    assert outs["r.fq.gz"] == outs["r.fq"]
+    for a, b in zip(outs["r.fa"], outs["r.fq"]):
+        assert a[:10] == b[:10]
+        assert a[10] == "*"
