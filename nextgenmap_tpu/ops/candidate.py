@@ -91,6 +91,62 @@ def pack_offsets(offsets: jax.Array, max_freq, fanout_cap: int):
     return jnp.concatenate([packed, jnp.zeros((1,), jnp.uint32)])
 
 
+def _slot_owners_dense(cum, o0, payload, H):
+    """Slot ownership via dense [B, H, Qt] compare-sums (fast for small H)."""
+    B, Qt = cum.shape
+    harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    ge = harange[:, :, None] >= cum[:, None, :]          # [B, H, Qt]
+    qid = jnp.sum(ge.astype(jnp.int32), axis=2) - 1      # [B, H]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, Qt), 2) == qid[:, :, None]
+    )
+    cum_at = jnp.sum(jnp.where(onehot, cum[:, None, :], 0), axis=2)
+    o0_at = jnp.sum(jnp.where(onehot, o0[:, None, :], 0), axis=2)
+    pidx = o0_at + (harange - cum_at)
+    pay_at = None
+    if payload is not None:
+        pay_at = jnp.sum(jnp.where(onehot, payload[:, None, :], 0), axis=2)
+    return qid, pidx, pay_at
+
+
+def _slot_owners_sorted(cum, o0, payload, H):
+    """Slot ownership via a rank-merge: two sorts, no scatters/gathers.
+
+    The dense variant's [B, H, Qt] tensors scale ~H·Qt in HBM traffic and
+    collapse at gigabase hit caps (measured 72 s/batch at H=960).  Here the
+    nondecreasing `cum` row is MERGED with the slot iota by one sort (even
+    keys = k-mer boundaries, odd keys = slots, so cum <= h ties resolve
+    inclusively); a cummax over int64-packed (qid, flip, o0-cum) payloads
+    carries each slot's owning k-mer; a second stable sort compacts the
+    slot elements back out.  O((Qt+H) log(Qt+H)) per row.
+    """
+    B, Qt = cum.shape
+    harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    key = jnp.concatenate([cum * 2, harange * 2 + 1], axis=1)  # [B, Qt+H]
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Qt), 1)
+    qp = q_iota * 2 + (payload if payload is not None else 0)  # q<<1 | flip
+    pay = jnp.concatenate([qp, jnp.full((B, H), -1, jnp.int32)], axis=1)
+    key_s, pay_s = jax.lax.sort((key, pay), dimension=1, num_keys=1)
+    run = _cummax(pay_s, axis=1)        # owning k-mer so far (monotone in q)
+    # compact the slot elements (odd keys) back to [B, H]; they appear in
+    # ascending h order, and the stable sort preserves that
+    is_slot = (key_s & 1).astype(jnp.int32)
+    _, run_h = jax.lax.sort((1 - is_slot, run), dimension=1, num_keys=1)
+    run_h = run_h[:, :H]
+    qid = run_h >> 1
+    pay_at = (run_h & 1) if payload is not None else None
+    # one small [B, H] gather resolves the owner's o0 - cum
+    delta = o0 - cum
+    delta_at = jnp.take_along_axis(delta, jnp.clip(qid, 0, Qt - 1), axis=1)
+    pidx = delta_at + harange
+    return qid, pidx, pay_at
+
+
+# above this hit cap the dense [B, H, Qt] ownership tensors cost more HBM
+# traffic than the sort-based rank-merge
+_DENSE_H_MAX = 256
+
+
 def _compact_hits(
     km, ok, offsets, positions, max_freq,
     *, fanout_cap, hit_cap, table_split=0, packed_offsets=False, payload=None,
@@ -135,23 +191,13 @@ def _compact_hits(
     hit_overflow = jnp.sum((total > H).astype(jnp.int32))
 
     # slot h belongs to the last kmer q with cum[q] <= h
+    owners = _slot_owners_dense if H <= _DENSE_H_MAX else _slot_owners_sorted
+    qid, pidx, pay_at = owners(cum, o0, payload, H)
     harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
-    ge = harange[:, :, None] >= cum[:, None, :]          # [B, H, Qt]
-    qid = jnp.sum(ge.astype(jnp.int32), axis=2) - 1      # [B, H]
     valid = harange < jnp.minimum(total, H)[:, None]
-
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, H, Qt), 2) == qid[:, :, None]
-    )
-    cum_at = jnp.sum(jnp.where(onehot, cum[:, None, :], 0), axis=2)
-    o0_at = jnp.sum(jnp.where(onehot, o0[:, None, :], 0), axis=2)
-    pidx = o0_at + (harange - cum_at)
     pos = positions[jnp.where(valid, pidx, 0)]           # [B, H] — the ONE gather
     if payload is None:
         return pos, qid, valid, fanout_overflow, hit_overflow
-    # per-kmer payload (e.g. canonical flip bit) carried to each hit via the
-    # same onehot — VPU work, not a gather
-    pay_at = jnp.sum(jnp.where(onehot, payload[:, None, :], 0), axis=2)
     return pos, qid, valid, fanout_overflow, hit_overflow, pay_at
 
 

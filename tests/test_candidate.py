@@ -171,3 +171,64 @@ def test_packed_offsets_identical():
         assert (np.asarray(getattr(a, f)) == np.asarray(getattr(b, f))).all(), f
     assert int(a.fanout_overflow) == int(b.fanout_overflow)
     assert int(a.hit_overflow) == int(b.hit_overflow)
+
+
+def test_slot_owners_sorted_equals_dense():
+    """Rank-merge slot ownership == dense compare-sum ownership, exactly."""
+    import numpy as np
+
+    from nextgenmap_tpu.ops.candidate import (
+        _slot_owners_dense, _slot_owners_sorted,
+    )
+
+    rng = np.random.default_rng(71)
+    for trial in range(4):
+        B, Qt, H = 7, 33, [8, 64, 300, 1000][trial]
+        cnt = rng.integers(0, 6, size=(B, Qt)).astype(np.int32)
+        # rows with zero hits and rows that overflow H both occur
+        cnt[0] = 0
+        o0 = rng.integers(0, 2**30, size=(B, Qt)).astype(np.int32)
+        flip = rng.integers(0, 2, size=(B, Qt)).astype(np.int32)
+        cum = np.cumsum(cnt, axis=1) - cnt
+        qd, pd, fd = _slot_owners_dense(cum, o0, flip, H)
+        qs, ps, fs = _slot_owners_sorted(cum, o0, flip, H)
+        total = cum[:, -1] + cnt[:, -1]
+        valid = np.arange(H)[None, :] < np.minimum(total, H)[:, None]
+        assert (np.asarray(qd)[valid] == np.asarray(qs)[valid]).all(), trial
+        assert (np.asarray(pd)[valid] == np.asarray(ps)[valid]).all(), trial
+        assert (np.asarray(fd)[valid] == np.asarray(fs)[valid]).all(), trial
+
+
+def test_compact_hits_sorted_path_end_to_end():
+    """candidate_search with H past the dense threshold stays correct."""
+    import numpy as np
+
+    from nextgenmap_tpu.index.kmer_index import KmerIndex
+    from nextgenmap_tpu.io.simulate import random_genome
+    from nextgenmap_tpu.ops.candidate import candidate_search
+    from nextgenmap_tpu.ops.kmer import extract_kmers
+
+    import jax.numpy as jnp
+
+    g = random_genome(8_000, seed=72)
+    idx = KmerIndex.build(g, k=8, skip=1, max_freq=1000)  # dense rows at k=8
+    off, pos = idx.device_arrays()
+    rng = np.random.default_rng(73)
+    starts = rng.integers(0, 8_000 - 60, size=16)
+    reads = np.stack([g[s : s + 60] for s in starts])
+    lens = np.full(16, 60, np.int32)
+    km, ok = extract_kmers(reads, lens, 8, stride=1)
+    kw = dict(fanout_cap=32, max_cmrs=8, diag_bin_log2=4, stride=1)
+    small = candidate_search(km, ok, jnp.asarray(off), jnp.asarray(pos),
+                             jnp.float32(0.9), jnp.int32(1000),
+                             hit_cap=256, **kw)
+    big = candidate_search(km, ok, jnp.asarray(off), jnp.asarray(pos),
+                           jnp.float32(0.9), jnp.int32(1000),
+                           hit_cap=512, **kw)
+    # with no overflow at either cap, the candidate lists must agree
+    assert int(small.hit_overflow) == int(big.hit_overflow) == 0
+    for f in ("bucket", "score", "strand"):
+        assert (np.asarray(getattr(small, f)) == np.asarray(getattr(big, f))).all()
+    # every read's true locus must surface as the best candidate
+    best_bucket = np.asarray(big.bucket)[:, 0]
+    assert (np.abs((best_bucket << 4) - starts) <= 32).all()
