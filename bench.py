@@ -78,6 +78,7 @@ def main() -> None:
         max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
         packed_offsets=packed_offsets, canonical=True,
+        sw_backend=cfg.sw_backend,
     )
 
     mats_d = jnp.asarray(mats)

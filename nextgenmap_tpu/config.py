@@ -55,7 +55,11 @@ class NgmConfig:
     affine: bool = False          # ref --affine: true affine-gap kernel
     end_to_end: bool = False      # ref --end-to-end: whole read must align
                                   # (glocal DP, no soft clipping)
-    sw_backend: str = "xla"       # "xla" (fused lax.scan) or "pallas" (ops/sw_pallas)
+    sw_backend: str = "pallas"    # "pallas" (ops/sw_pallas; measured faster
+                                  # end-to-end on v5e at lazy slot sizes) or
+                                  # "xla" (fused lax.scan). Pallas silently
+                                  # falls back to xla off-TPU or when the
+                                  # band doesn't fit the kernel's constraints
 
     # --- filters / selection ---
     min_identity: float = 0.65    # ref -i
