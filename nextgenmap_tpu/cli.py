@@ -58,6 +58,10 @@ def build_parser():
         g.add_argument("--max-cmrs", type=int, default=D.max_cmrs)
         g.add_argument("--max-read-hits", type=int, default=D.max_read_hits,
                        help="per-read index-hit cap (0 = auto from genome size)")
+        g.add_argument("--index-shards", type=int, default=D.index_shards,
+                       help="split the index/genome into N position-range "
+                            "shards (gigabase genomes); N devices map them "
+                            "in parallel, one device loops them sequentially")
 
         g = sp.add_argument_group("sensitivity/filters")
         g.add_argument("-s", "--sensitivity", type=float, default=D.sensitivity)
@@ -73,7 +77,11 @@ def build_parser():
         g.add_argument("--gap-ref-penalty", type=int, default=D.gap_ref_penalty)
         g.add_argument("--gap-extend-penalty", type=int,
                        default=D.gap_extend_penalty)
-        g.add_argument("--affine", action="store_true")
+        g.add_argument("--affine", action="store_true",
+                       help="accepted for reference compatibility: the TPU "
+                            "banded-SW kernel is ALWAYS affine (requires "
+                            "gap open >= gap extend; extend > open is "
+                            "rejected at validation)")
         g.add_argument("--end-to-end", action="store_true",
                        help="whole-read (glocal) alignment, no soft clipping")
         g.add_argument("--sw-backend", choices=["xla", "pallas"],
@@ -171,6 +179,7 @@ def config_from_args(a) -> NgmConfig:
         qry_start=a.qry_start, qry_count=a.qry_count,
         dist_nprocs=a.dist_nprocs, dist_procid=a.dist_procid,
         dist_coordinator=a.dist_coordinator, no_merge=a.no_merge,
+        index_shards=a.index_shards,
     )
 
 

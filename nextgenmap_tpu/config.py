@@ -52,7 +52,10 @@ class NgmConfig:
     gap_read_penalty: int = 20    # gap opened in the read (deletion from ref view)
     gap_ref_penalty: int = 20     # gap opened in the reference
     gap_extend_penalty: int = 20  # NGM default == open => effectively linear gaps
-    affine: bool = False          # ref --affine: true affine-gap kernel
+    affine: bool = False          # ref --affine: accepted for compatibility;
+                                  # the TPU kernel is ALWAYS affine-gap
+                                  # (open >= extend; validate() rejects
+                                  # extend > open), so this changes nothing
     end_to_end: bool = False      # ref --end-to-end: whole read must align
                                   # (glocal DP, no soft clipping)
     sw_backend: str = "pallas"    # "pallas" (ops/sw_pallas; measured faster
@@ -111,6 +114,12 @@ class NgmConfig:
                                   # for cross-host collectives, e.g. a
                                   # pod-sharded index); empty = no global runtime
     no_merge: bool = False        # leave per-host .part files unmerged
+    index_shards: int = 1         # split index+genome into S position ranges
+                                  # (BASELINE config 4 / GRCh38): parallel over
+                                  # an ("dp","ish") mesh when devices % S == 0,
+                                  # else a sequential shard loop on one device
+                                  # (how a >2^31-base genome fits int32 device
+                                  # coordinates on a single chip)
 
     # ------------------------------------------------------------------
     def corridor_for(self, read_len: int) -> int:
@@ -186,3 +195,9 @@ class NgmConfig:
             raise ValueError("sw_backend must be 'xla' or 'pallas'")
         if self.dist_nprocs < 1 or not (0 <= self.dist_procid < self.dist_nprocs):
             raise ValueError("need dist_nprocs >= 1 and 0 <= dist_procid < nprocs")
+        if self.index_shards < 1:
+            raise ValueError("index_shards must be >= 1")
+        if self.index_shards > 1 and self.bs_mapping:
+            raise ValueError("--index-shards with --bs-mapping not supported yet")
+        if self.index_shards > 1 and self.topn > 1:
+            raise ValueError("--index-shards with -n/--topn > 1 not supported yet")

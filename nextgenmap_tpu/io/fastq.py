@@ -86,8 +86,32 @@ def _looks_like_sam(first_line: bytes) -> bool:
     return first_line.count(b"\t") >= 10
 
 
+def _is_bam_input(path: str) -> bool:
+    if path.endswith(".bam"):
+        return True
+    import gzip
+
+    try:
+        with gzip.open(path, "rb") as f:
+            return f.read(4) == b"BAM\x01"
+    except OSError:
+        return False
+
+
+def _iter_bam_reads(path: str) -> Iterator[ReadRecord]:
+    """BAM input (ref component 14's bamtools parser analog): decode records
+    with io/bam.py's reader and reuse the SAM-record read extraction."""
+    from nextgenmap_tpu.io.bam import read_bam
+
+    _, _, recs = read_bam(path)
+    yield from _iter_sam_reads("\t".join(r).encode() for r in recs)
+
+
 def iter_reads(path: str) -> Iterator[ReadRecord]:
-    """Stream FASTQ, FASTA, or SAM records (auto-detected, gz ok)."""
+    """Stream FASTQ, FASTA, SAM, or BAM records (auto-detected, gz ok)."""
+    if _is_bam_input(path):
+        yield from _iter_bam_reads(path)
+        return
     with _open_text(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         if not first:
@@ -250,7 +274,7 @@ def batch_single(
     """Single-end: pack reads into [B, L] batches (last one padded)."""
     from nextgenmap_tpu import native
 
-    if native.lib() is not None and not _is_sam_input(path):
+    if native.lib() is not None and not _is_sam_input(path) and not _is_bam_input(path):
         yield from _batch_single_native(path, batch_size, read_len, skip, count)
         return
     buf: list[ReadRecord] = []

@@ -84,6 +84,7 @@ def revcomp_batch(codes: jax.Array) -> jax.Array:
 
 def _candidates(
     genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+    best_floor=None,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
     read_stride=1, bs=False, bs_cutoff=0, cs_axis=None, packed_offsets=False,
     canonical=False,
@@ -94,7 +95,10 @@ def _candidates(
     later argmax/top_k selections tie-break per DESIGN.md rule 11; valid
     candidates form a per-read PREFIX after the ordering.  Returns
     (corr_start [B,C], strand [B,C], cand_valid [B,C], n_cands [B],
-    rc [B,L] the left-shifted reverse-complement batch, overflow pair).
+    rc [B,L] the left-shifted reverse-complement batch, best [B] best
+    bucket hit count, overflow pair).  best_floor (optional [B]) raises the
+    adaptive threshold to a cross-shard best computed outside (the
+    sequential index-shard loop's analog of the mesh path's pmax).
     """
     B, L = reads.shape
     W = band
@@ -118,7 +122,7 @@ def _candidates(
         )
         cand = candidate_search_canonical(
             canon, flip, ok_c, lengths, offsets, positions,
-            sensitivity, max_freq,
+            sensitivity, max_freq, best_floor,
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, stride=read_stride,
             axis_name=cs_axis, packed_offsets=packed_offsets,
@@ -140,12 +144,20 @@ def _candidates(
         )
         cand = candidate_search_dual(
             km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
+            best_floor,
             fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, stride=read_stride, dual_tables=bs,
             axis_name=cs_axis, packed_offsets=packed_offsets,
         )
     bucket, cs_score, strand = cand.bucket, cand.score, cand.strand
     cand_valid = cs_score >= max(1, min_kmer_hits)
+    if min_kmer_hits > 1:
+        # zero-CMR retry (ref:src/CS.cpp CollectResults fallback): a read
+        # whose every bucket falls below kmer_min gets a second chance at
+        # threshold 1 instead of silently dropping — one masked select, no
+        # second search pass
+        none = ~jnp.any(cand_valid, axis=1)
+        cand_valid = jnp.where(none[:, None], cs_score >= 1, cand_valid)
 
     # deterministic candidate order: (strand asc, corridor start asc)
     slack = (W - 2 * bin_w) // 2
@@ -166,7 +178,7 @@ def _candidates(
         cand.fanout_overflow + cand.hit_overflow,
         cand.cmr_overflow,
     )
-    return corr_start, strand, cand_valid, n_cands, rc, overflow
+    return corr_start, strand, cand_valid, n_cands, rc, cand.best_score, overflow
 
 
 def _score_candidates(
@@ -346,6 +358,7 @@ _STATICS = (
 def map_step(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
+    best_floor=None,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
@@ -361,8 +374,9 @@ def map_step(
     # lazy scoring rarely needs many slots (most reads have 1 candidate);
     # overflow is counted, so a repeat-dense genome is visible, not silent
     slot_cap = slot_cap or max(512, B // 2)
-    corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
+    corr_start, strand, cand_valid, n_cands, rc, _, overflow = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        best_floor,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
@@ -386,6 +400,33 @@ def map_step(
     )
 
 
+@partial(jax.jit, static_argnames=_STATICS)
+def cs_best_step(
+    genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
+) -> jax.Array:
+    """Candidate-search-only pass returning the per-read best bucket count.
+
+    Phase 1 of the SEQUENTIAL index-shard loop (one chip, S > devices): the
+    adaptive CMR threshold must be relative to the best bucket count across
+    ALL shards (DESIGN.md rule 15) — on a mesh that's a pmax over "ish"; here
+    the host maxes these per-shard bests and feeds the result back into
+    phase 2's map_step as `best_floor`.  XLA dead-code-eliminates the
+    selection/ordering work, leaving just lookup + compaction + vote count.
+    """
+    *_, best, _ = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets, canonical=canonical,
+    )
+    return best
+
+
 @partial(jax.jit, static_argnames=_STATICS + ("topn",))
 def map_step_topn(
     genome, offsets, positions, reads, lengths, matrices,
@@ -405,7 +446,7 @@ def map_step_topn(
     """
     B = reads.shape[0]
     slot_cap = slot_cap or 2 * B
-    corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
+    corr_start, strand, cand_valid, n_cands, rc, _, overflow = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
@@ -440,7 +481,7 @@ def map_step_topn(
 def map_step_paired(
     genome, offsets, positions, reads, lengths, matrices,
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
-    min_insert, max_insert, pair_cutoff,
+    min_insert, max_insert, pair_cutoff, best_floor=None,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
@@ -463,8 +504,9 @@ def map_step_paired(
     # lazy scoring rarely needs many slots (most reads have 1 candidate);
     # overflow is counted, so a repeat-dense genome is visible, not silent
     slot_cap = slot_cap or max(512, B // 2)
-    corr_start, strand, cand_valid, n_cands, rc, overflow = _candidates(
+    corr_start, strand, cand_valid, n_cands, rc, _, overflow = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        best_floor,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
@@ -556,6 +598,10 @@ class Mapper:
     index: KmerIndex | tuple | None = None
 
     def __post_init__(self):
+        if self.cfg.index_shards > 1:
+            self._init_sharded()
+            return
+        self._sharded = None
         self._genome_dev = jax.device_put(jnp.asarray(self.genome.codes))
         # canonical k-mer indexing (one lookup serves both strands) whenever
         # possible: not bisulfite (strand-asymmetric collapses) and the
@@ -632,6 +678,120 @@ class Mapper:
                 self._mesh, paired=True, **self._statics()
             )
 
+    def _init_sharded(self):
+        """Position-range index sharding (BASELINE config 4, SURVEY.md §2.2).
+
+        Two execution modes behind the same `map_batch` API:
+        - n_devices a multiple of n_shards: ("dp", "ish") mesh, all shards in
+          parallel, all_gather merge (parallel/index_shard.py).
+        - one device (or fewer than n_shards): SEQUENTIAL shard loop on that
+          device — phase 1 computes every shard's best CS bucket count, the
+          host maxes them into the global adaptive-threshold floor, phase 2
+          runs the full step per shard, and merge_sharded_results combines
+          the stacked per-shard results with the same merge keys as the mesh
+          path.  This is what makes a >2^31-base genome (GRCh38) mappable on
+          a SINGLE chip: each shard rebases positions into its own int32
+          range.
+        """
+        from nextgenmap_tpu.parallel.index_shard import ShardedIndex
+
+        cfg = self.cfg
+        if not isinstance(self.index, KmerIndex) or self.index.canonical:
+            raise ValueError(
+                "index sharding requires a host-built non-canonical KmerIndex"
+            )
+        S = cfg.index_shards
+        halo = ShardedIndex.halo_for(cfg, self.read_len, paired=True)
+        sidx = ShardedIndex.build(self.index, self.genome.codes, S, halo)
+        self._sharded = sidx
+        self._canonical = False
+        self._packed_offsets = False
+        self._matrices = jnp.asarray(
+            np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
+        )
+        self.band = cfg.corridor_for(self.read_len)
+        # per-shard hit cap sized to per-shard index density — the point of
+        # sharding: S shards each see ~1/S of the hits
+        self.hit_cap = cfg.resolved_read_hits(
+            sidx.positions.shape[1], self.read_len
+        )
+        self.n_devices = cfg.devices or len(jax.local_devices())
+        self._base = jnp.asarray(sidx.base)
+        self._clo = jnp.asarray(sidx.core_lo)
+        self._chi = jnp.asarray(sidx.core_hi)
+        if self.n_devices > 1 and self.n_devices % S == 0:
+            from nextgenmap_tpu.parallel.index_shard import (
+                make_index_sharded_map_step,
+            )
+            from nextgenmap_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(self.n_devices, index_shards=S)
+            self._ish_args = (
+                jnp.asarray(sidx.genome), jnp.asarray(sidx.offsets),
+                jnp.asarray(sidx.positions), self._base, self._clo, self._chi,
+            )
+            self._ish_single = make_index_sharded_map_step(
+                mesh, paired=False, read_len=self.read_len, **self._statics()
+            )
+            self._ish_paired = make_index_sharded_map_step(
+                mesh, paired=True, read_len=self.read_len, **self._statics()
+            )
+            self._shard_args = None
+        elif self.n_devices == 1:
+            # per-shard device arrays share one padded shape -> ONE compile
+            self._shard_args = [
+                (
+                    jax.device_put(jnp.asarray(sidx.genome[s])),
+                    jax.device_put(jnp.asarray(sidx.offsets[s])),
+                    jax.device_put(jnp.asarray(sidx.positions[s])),
+                )
+                for s in range(S)
+            ]
+        else:
+            raise ValueError(
+                f"index_shards={S} needs 1 device (sequential) or a device "
+                f"count divisible by {S}, got {self.n_devices}"
+            )
+
+    def _map_sharded(self, codes, lengths, paired: bool, pair_args=()) -> MapResult:
+        from nextgenmap_tpu.parallel.index_shard import merge_sharded_results
+
+        cfg = self.cfg
+        reads = jnp.asarray(codes)
+        lens = jnp.asarray(lengths, jnp.int32)
+        scalars = (
+            self._matrices,
+            jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),
+            jnp.int32(cfg.gap_extend_penalty),
+            jnp.float32(cfg.sensitivity), jnp.int32(cfg.max_kmer_freq),
+            jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
+        )
+        if self._shard_args is None:  # mesh path
+            fn = self._ish_paired if paired else self._ish_single
+            return fn(*self._ish_args, reads, lens, *scalars, *pair_args)
+        # sequential path: phase 1 — cross-shard best bucket counts
+        sens = jnp.float32(cfg.sensitivity)
+        mf = jnp.int32(cfg.max_kmer_freq)
+        statics = self._statics()
+        bests = [
+            cs_best_step(g, o, p, reads, lens, sens, mf, **statics)
+            for (g, o, p) in self._shard_args
+        ]
+        best = jnp.max(jnp.stack(bests), axis=0)
+        step = map_step_paired if paired else map_step
+        results = [
+            step(g, o, p, reads, lens, *scalars, *pair_args, best, **statics)
+            for (g, o, p) in self._shard_args
+        ]
+        stk = MapResult(*[
+            jnp.stack([getattr(r, f) for r in results])
+            for f in MapResult._fields
+        ])
+        return merge_sharded_results(
+            stk, self._base, self._clo, self._chi,
+            paired=paired, read_len=self.read_len,
+        )
+
     def _common_args(self, codes, lengths):
         cfg = self.cfg
         return (
@@ -661,11 +821,15 @@ class Mapper:
         )
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
+        if self._sharded is not None:
+            return self._map_sharded(codes, lengths, paired=False)
         if self.n_devices > 1:
             return self._dp_single(*self._common_args(codes, lengths))
         return map_step(*self._common_args(codes, lengths), **self._statics())
 
     def map_batch_topn(self, codes: np.ndarray, lengths: np.ndarray) -> tuple:
+        if self._sharded is not None:
+            raise ValueError("topn > 1 with a sharded index is not supported yet")
         return map_step_topn(
             *self._common_args(codes, lengths),
             topn=min(self.cfg.topn, self.cfg.max_cmrs),
@@ -678,6 +842,9 @@ class Mapper:
             jnp.int32(cfg.min_insert_size), jnp.int32(cfg.max_insert_size),
             jnp.float32(cfg.pair_score_cutoff),
         )
+        if self._sharded is not None:
+            return self._map_sharded(codes, lengths, paired=True,
+                                     pair_args=pair_args)
         if self.n_devices > 1:
             return self._dp_paired(*self._common_args(codes, lengths), *pair_args)
         return map_step_paired(

@@ -201,7 +201,7 @@ def _compact_hits(
     return pos, qid, valid, fanout_overflow, hit_overflow, pay_at
 
 
-def _select_candidates(votes, sensitivity, max_cmrs, axis_name):
+def _select_candidates(votes, sensitivity, max_cmrs, axis_name, best_floor=None):
     """Sort tagged votes, run-length count, threshold, stable top-C.
 
     `votes` carry a provenance LSB: direct votes are 2*v+1, pair-merge
@@ -235,8 +235,12 @@ def _select_candidates(votes, sensitivity, max_cmrs, axis_name):
     best = jnp.max(key, axis=1)
     # under index sharding the adaptive threshold must be relative to the
     # GLOBAL best bucket score, or shard count changes the candidate set
-    # (DESIGN.md rule 15); axis_name names the index-shard mesh axis
+    # (DESIGN.md rule 15); axis_name names the index-shard mesh axis.
+    # best_floor [B] is the sequential-shard-loop equivalent: the caller's
+    # precomputed cross-shard best (models/mapper.py::cs_best_step)
     best_thr = jax.lax.pmax(best, axis_name) if axis_name else best
+    if best_floor is not None:
+        best_thr = jnp.maximum(best_thr, best_floor)
     thresh = jnp.maximum(
         1, jnp.ceil(best_thr.astype(jnp.float32) * sensitivity)
     ).astype(jnp.int32)
@@ -266,6 +270,7 @@ def candidate_search_dual(
     positions: jax.Array,    # [P] int32 genome positions (device)
     sensitivity: jax.Array,  # scalar float32
     max_freq: jax.Array,     # scalar int32 repeat mask
+    best_floor: jax.Array | None = None,  # [B] cross-shard best-count floor
     *,
     fanout_cap: int,
     hit_cap: int,
@@ -307,7 +312,7 @@ def candidate_search_dual(
     votes = jnp.concatenate([vote_hi, vote_lo], axis=1)  # [B, 2H]
 
     top_vote, top_score, best, co = _select_candidates(
-        votes, sensitivity, max_cmrs, axis_name
+        votes, sensitivity, max_cmrs, axis_name, best_floor
     )
     got = top_score > 0
     top_vote = top_vote >> 1
@@ -342,6 +347,7 @@ def candidate_search_canonical(
     positions: jax.Array,    # [P] int32 (pos << 1 | genome-flip) entries
     sensitivity: jax.Array,
     max_freq: jax.Array,
+    best_floor: jax.Array | None = None,  # [B] cross-shard best-count floor
     *,
     k: int,
     fanout_cap: int,
@@ -382,7 +388,7 @@ def candidate_search_canonical(
     votes = jnp.concatenate([vote_hi, vote_lo], axis=1)  # [B, 2H]
 
     top_vote, top_score, best, co = _select_candidates(
-        votes, sensitivity, max_cmrs, axis_name
+        votes, sensitivity, max_cmrs, axis_name, best_floor
     )
     got = top_score > 0
     top_vote = top_vote >> 1

@@ -138,99 +138,114 @@ def _take_shard(field_all, winner):
     return jnp.take_along_axis(field_all, idx, axis=0)[0]
 
 
+@partial(jax.jit, static_argnames=("paired", "read_len"))
+def merge_sharded_results(
+    stk: MapResult, base, core_lo, core_hi, *, paired: bool, read_len: int
+) -> MapResult:
+    """Merge per-shard MapResults (leading S axis) into the global result.
+
+    The SINGLE definition of the cross-shard merge semantics — the mesh path
+    feeds it all_gathered [S, B] fields, the sequential one-chip loop feeds
+    it host-stacked fields, so the two products are identical by
+    construction.  Ownership is by RAW score + core range (not the
+    post-filter `mapped` flag): the single-device semantics pick the SW
+    argmax first and apply identity/residue filters to the winner only, and
+    the MAPQ second-best counts unfiltered candidates.  Merge key: score
+    DESC, strand fwd first, global position ASC, shard ASC.
+    """
+    L = read_len
+    S, B = stk.score.shape
+    base = base.astype(jnp.uint32)[:, None]
+    has_aln = stk.score > 0
+    gpos = jnp.where(has_aln, base + stk.pos.astype(jnp.uint32), UPOS_MAX)
+    own = (
+        has_aln
+        & (gpos >= core_lo.astype(jnp.uint32)[:, None])
+        & (gpos < core_hi.astype(jnp.uint32)[:, None])
+    )
+    sc_all = jnp.where(own, stk.score, -1)
+    st_all = jnp.where(own, stk.strand, 2)
+    gp_all = jnp.where(own, gpos, UPOS_MAX)
+    winner, _ = _lex_winner(sc_all, st_all, gp_all)
+
+    if paired:
+        # pair-consistent merge: a proper pair is owned via MATE1's
+        # position; if any shard resolved the pair properly, both mates
+        # come from the (proper DESC, combined DESC, pos1 ASC, shard ASC)
+        # winner; otherwise mates merge independently (broken pair).
+        Pn = B // 2
+        s_pair = sc_all.reshape(S, Pn, 2)
+        prop = stk.proper.reshape(S, Pn, 2)
+        proper_p = prop[:, :, 0] & prop[:, :, 1]
+        own1 = own.reshape(S, Pn, 2)[:, :, 0]
+        pair_ok = proper_p & own1
+        comb_all = jnp.where(pair_ok, s_pair[:, :, 0] + s_pair[:, :, 1], -1)
+        gp1_all = jnp.where(pair_ok, gpos.reshape(S, Pn, 2)[:, :, 0], UPOS_MAX)
+        best_comb = jnp.max(comb_all, axis=0)
+        candp = comb_all == best_comb
+        gp1_m = jnp.where(candp, gp1_all, UPOS_MAX)
+        candp &= gp1_m == jnp.min(gp1_m, axis=0)
+        winner_pair = jnp.argmax(candp, axis=0)
+        any_proper = best_comb > 0
+        winner = jnp.where(
+            jnp.repeat(any_proper, 2),
+            jnp.repeat(winner_pair, 2),
+            winner,
+        )
+
+    # global second-best for MAPQ: other shards' best at a different
+    # locus, or the winner shard's own local second
+    win_gp = _take_shard(gp_all, winner)
+    win_sc = _take_shard(sc_all, winner)
+    # unsigned distance (uint32 subtraction wraps; use max-min)
+    far = (
+        jnp.maximum(gp_all, win_gp[None]) - jnp.minimum(gp_all, win_gp[None])
+    ) > jnp.uint32(L)
+    s2_other = jnp.max(jnp.where(far, sc_all, 0), axis=0)
+    s2_local = _take_shard(stk.second, winner)
+    s2 = jnp.maximum(s2_other, s2_local)
+
+    merged = {}
+    for name in MapResult._fields:
+        val = getattr(stk, name)
+        if name in ("fanout_overflow", "cmr_overflow"):
+            merged[name] = jnp.sum(val, axis=0)  # the "ish" psum equivalent
+            continue
+        if name == "pos":
+            val = gpos  # uint32 global coordinates
+        merged[name] = _take_shard(val, winner)
+
+    mapped = merged["mapped"] & (win_sc > 0)
+    s1f = jnp.maximum(1, win_sc).astype(jnp.float32)
+    mapq = jnp.clip(
+        jnp.round(60.0 * (win_sc - s2).astype(jnp.float32) / s1f), 0, 60
+    ).astype(jnp.int32)
+    merged["mapped"] = mapped
+    merged["second"] = s2
+    merged["mapq"] = jnp.where(mapped, mapq, 0)
+    merged["proper"] = merged["proper"] & mapped
+    return MapResult(**merged)
+
+
 def make_index_sharded_map_step(mesh: Mesh, paired: bool, read_len: int, **statics):
     """Mapping step over a ("dp", "ish") mesh: reads data-parallel over dp,
     index position-sharded over ish, per-read (or per-pair) merge over ish."""
     base_fn = map_step_paired if paired else map_step
     fn = partial(base_fn, cs_axis="ish", **statics)
-    L = read_len
 
     def inner(genome_s, off_s, pos_s, base_s, core_lo_s, core_hi_s, *args):
         res = fn(genome_s[0], off_s[0], pos_s[0], *args)
-        B = res.pos.shape[0]
-        shard_base = base_s[0].astype(jnp.uint32)
-        # ownership by RAW score + core range (not the post-filter `mapped`
-        # flag): the single-device semantics pick the SW argmax first and
-        # apply identity/residue filters to the winner only, and the MAPQ
-        # second-best counts unfiltered candidates
-        has_aln = res.score > 0
-        gpos = jnp.where(has_aln, shard_base + res.pos.astype(jnp.uint32), UPOS_MAX)
-        own = (
-            has_aln
-            & (gpos >= core_lo_s[0].astype(jnp.uint32))
-            & (gpos < core_hi_s[0].astype(jnp.uint32))
-        )
-        score_m = jnp.where(own, res.score, -1)
-        strand_m = jnp.where(own, res.strand, 2)
-        gpos_m = jnp.where(own, gpos, UPOS_MAX)
-
         ag = lambda x: jax.lax.all_gather(x, "ish")
-        sc_all = ag(score_m)          # [S, B]
-        st_all = ag(strand_m)
-        gp_all = ag(gpos_m)
-        winner, _ = _lex_winner(sc_all, st_all, gp_all)
-
-        if paired:
-            # pair-consistent merge: a proper pair is owned via MATE1's
-            # position; if any shard resolved the pair properly, both mates
-            # come from the (proper DESC, combined DESC, pos1 ASC, shard ASC)
-            # winner; otherwise mates merge independently (broken pair).
-            Pn = B // 2
-            s_pair = score_m.reshape(Pn, 2)
-            proper_p = res.proper.reshape(Pn, 2)[:, 0] & res.proper.reshape(Pn, 2)[:, 1]
-            own1 = own.reshape(Pn, 2)[:, 0]
-            pair_ok = proper_p & own1
-            combined = jnp.where(pair_ok, s_pair[:, 0] + s_pair[:, 1], -1)
-            gp1 = jnp.where(pair_ok, gpos.reshape(Pn, 2)[:, 0], UPOS_MAX)
-            comb_all = ag(combined)       # [S, Pn]
-            gp1_all = ag(gp1)
-            best_comb = jnp.max(comb_all, axis=0)
-            candp = comb_all == best_comb
-            gp1_m = jnp.where(candp, gp1_all, UPOS_MAX)
-            candp &= gp1_m == jnp.min(gp1_m, axis=0)
-            winner_pair = jnp.argmax(candp, axis=0)
-            any_proper = best_comb > 0
-            winner = jnp.where(
-                jnp.repeat(any_proper, 2),
-                jnp.repeat(winner_pair, 2),
-                winner,
-            )
-
-        # global second-best for MAPQ: other shards' best at a different
-        # locus, or the winner shard's own local second
-        win_gp = _take_shard(gp_all, winner)
-        win_sc = _take_shard(sc_all, winner)
-        # unsigned distance (uint32 subtraction wraps; use max-min)
-        far = (
-            jnp.maximum(gp_all, win_gp[None]) - jnp.minimum(gp_all, win_gp[None])
-        ) > jnp.uint32(L)
-        s2_other = jnp.max(jnp.where(far, sc_all, 0), axis=0)
-        s2_local = _take_shard(ag(res.second), winner)
-        s2 = jnp.maximum(s2_other, s2_local)
-
-        merged = {}
-        for name in MapResult._fields:
-            val = getattr(res, name)
-            if name in ("fanout_overflow", "cmr_overflow"):
-                merged[name] = jax.lax.psum(val, "ish")
-                continue
-            if name == "pos":
-                val = gpos  # uint32 global coordinates
-            merged[name] = _take_shard(ag(val), winner)
-
-        mapped = merged["mapped"] & (win_sc > 0)
-        s1f = jnp.maximum(1, win_sc).astype(jnp.float32)
-        mapq = jnp.clip(
-            jnp.round(60.0 * (win_sc - s2).astype(jnp.float32) / s1f), 0, 60
-        ).astype(jnp.int32)
-        merged["mapped"] = mapped
-        merged["second"] = s2
-        merged["mapq"] = jnp.where(mapped, mapq, 0)
-        merged["proper"] = merged["proper"] & mapped
+        stk = MapResult(*[ag(getattr(res, f)) for f in MapResult._fields])
+        merged = merge_sharded_results(
+            stk, ag(base_s[0]), ag(core_lo_s[0]), ag(core_hi_s[0]),
+            paired=paired, read_len=read_len,
+        )
         # dp-axis reduction of the audit counters
-        merged["fanout_overflow"] = jax.lax.psum(merged["fanout_overflow"], "dp")
-        merged["cmr_overflow"] = jax.lax.psum(merged["cmr_overflow"], "dp")
-        return MapResult(**merged)
+        return merged._replace(
+            fanout_overflow=jax.lax.psum(merged.fanout_overflow, "dp"),
+            cmr_overflow=jax.lax.psum(merged.cmr_overflow, "dp"),
+        )
 
     n_scalar = 10 if paired else 7
     in_specs = (

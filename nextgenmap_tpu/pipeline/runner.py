@@ -50,6 +50,16 @@ def load_reference(cfg: NgmConfig, ref_path: str):
     if cfg.bs_mapping:
         ct, ga = try_load("ct"), try_load("ga")
         return genome, (ct, ga) if ct and ga else None
+    if cfg.index_shards > 1:
+        # position-range sharding needs RAW (non-canonical) positions so the
+        # global CSR can be split by range (parallel/index_shard.py); built on
+        # the host and memoized like the reference's .ngm artifacts
+        idx = KmerIndex.open(
+            ref_path, genome.codes, genome.sha1(),
+            k=cfg.kmer, skip=cfg.kmer_skip, max_freq=cfg.max_kmer_freq,
+            skip_save=cfg.skip_save, canonical=False,
+        )
+        return genome, idx
     idx = try_load("none")
     # the device build's sort needs ~25x the genome in HBM; beyond ~256 Mbp
     # build on the host instead (memoized, like the reference's .ngm files)
