@@ -112,12 +112,17 @@ def format_sam(
     q_start: np.ndarray, q_end: np.ndarray,
     genome_codes: np.ndarray, gpos_abs: np.ndarray,
     rnexts: list[str], pnext: np.ndarray, tlen: np.ndarray,
-    identity: np.ndarray, rg_suffix: str, hard_clip: bool,
+    identity: np.ndarray, rg_suffix: str, clip_mode: int,
+    is_mapped: np.ndarray | None = None,
 ) -> bytes:
-    """Format n mapped records into one SAM text blob via the native writer."""
+    """Format a whole batch (mapped AND unmapped rows, in row order) into one
+    SAM text blob via the native writer.  clip_mode 0 soft / 1 hard / 2
+    silent; is_mapped=None means all rows mapped."""
     L = lib()
     assert L is not None
     n = len(names)
+    if is_mapped is None:
+        is_mapped = np.ones(n, np.uint8)
 
     def arena(strings):
         offs = np.empty(n, np.int64)
@@ -148,7 +153,7 @@ def format_sam(
             qual_a, _ptr(qual_o),
             _ptr(np.ascontiguousarray(qual_rev, np.uint8)),
             _ptr(np.ascontiguousarray(flag, np.int32)),
-            _ptr(np.zeros(n, np.int32)),  # chrom_idx (unused; rnames given)
+            _ptr(np.ascontiguousarray(is_mapped, np.uint8)),
             _ptr(np.ascontiguousarray(chrom_pos, np.int64)),
             rname_a, _ptr(rname_o),
             _ptr(np.ascontiguousarray(mapq, np.int32)),
@@ -164,7 +169,7 @@ def format_sam(
             _ptr(np.ascontiguousarray(pnext, np.int64)),
             _ptr(np.ascontiguousarray(tlen, np.int64)),
             _ptr(np.ascontiguousarray(identity, np.float32)),
-            rg_suffix.encode("ascii"), ctypes.c_int(1 if hard_clip else 0),
+            rg_suffix.encode("ascii"), ctypes.c_int(clip_mode),
             out, ctypes.c_int64(cap),
         )
         if wrote >= 0:

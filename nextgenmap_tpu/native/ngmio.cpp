@@ -146,9 +146,15 @@ int ngm_parse_reads(
 // ---------------------------------------------------------------------------
 // SAM record formatting.
 //
-// Builds complete SAM lines for a batch of MAPPED single-end reads into one
-// output text buffer.  Inputs are the device result arrays (host numpy);
-// the traceback op buffer is END->START order with codes M=0 I=1 D=2.
+// Builds complete SAM lines for a whole batch — mapped AND unmapped rows, in
+// row order — into one output text buffer (reference analog SAMWriter.cpp:
+// native for *everything*).  Inputs are the device result arrays (host
+// numpy); the traceback op buffer is END->START order with codes M=0 I=1 D=2.
+// clip_mode: 0 soft (S ops, full SEQ), 1 hard (H ops, trimmed SEQ),
+// 2 silent (no clip ops, trimmed SEQ).  Unmapped rows (is_mapped[r]==0) emit
+// the SAM unmapped form: CIGAR '*', no AS/NM/MD/XI tags, full untrimmed SEQ;
+// RNAME/POS/RNEXT/PNEXT may carry the mapped mate's coordinates (pair
+// collation convention) — the caller encodes that in the arenas/arrays.
 // Returns bytes written, or -1 if out_cap would overflow (caller retries
 // with a bigger buffer).
 
@@ -169,7 +175,7 @@ int64_t ngm_format_sam(
     const char* name_arena, const int64_t* name_off,
     const uint8_t* aligned_codes, const int32_t* read_len, int Lmax,
     const char* qual_arena, const int64_t* qual_off, const uint8_t* qual_rev,
-    const int32_t* flag, const int32_t* chrom_idx, const int64_t* chrom_pos,
+    const int32_t* flag, const uint8_t* is_mapped, const int64_t* chrom_pos,
     const char* rnames_arena, const int64_t* rname_off,
     const int32_t* mapq, const int32_t* score,
     const uint8_t* ops, const int32_t* n_ops, int ops_stride,
@@ -178,18 +184,23 @@ int64_t ngm_format_sam(
     const char* rnext_arena, const int64_t* rnext_off,
     const int64_t* pnext, const int64_t* tlen,
     const float* identity,
-    const char* rg_suffix, int hard_clip,
+    const char* rg_suffix, int clip_mode,
     char* out, int64_t out_cap)
 {
     init_tables();
+    // MD scratch sized to the op budget: <= 12 bytes per column (digits +
+    // base), no silent clamp (a truncated MD corrupts downstream pileups)
+    int64_t md_cap = 12 * (int64_t)ops_stride + 64;
+    char* mdbuf = new char[md_cap];
     char* w = out;
     char* end = out + out_cap - 64;
     for (int r = 0; r < n; r++) {
         int L = read_len[r];
         int no = n_ops[r];
+        int mappedr = is_mapped[r];
         const uint8_t* op = ops + (int64_t)r * ops_stride;
         // worst case record size estimate
-        if (w + 2L * L + no * 4 + 256 > end) return -1;
+        if (w + 2L * L + no * 4 + 256 > end) { delete[] mdbuf; return -1; }
 
         // QNAME FLAG RNAME POS MAPQ
         const char* nm = name_arena + name_off[r];
@@ -197,15 +208,15 @@ int64_t ngm_format_sam(
         *w++ = '\t'; w = put_i32(w, flag[r]); *w++ = '\t';
         const char* rn = rnames_arena + rname_off[r];
         while (*rn) *w++ = *rn++;
-        *w++ = '\t'; w = put_u32(w, (uint32_t)(chrom_pos[r] + 1));
+        *w++ = '\t'; w = put_i32(w, (int32_t)(chrom_pos[r] + 1));
         *w++ = '\t'; w = put_i32(w, mapq[r]); *w++ = '\t';
 
         // CIGAR from END->START op buffer (reverse = START->END)
         int qs = q_start[r], qe = q_end[r];
-        char clip = hard_clip ? 'H' : 'S';
-        if (no == 0) { *w++ = '*'; }
+        char clip = clip_mode == 1 ? 'H' : 'S';
+        if (no == 0 || !mappedr) { *w++ = '*'; }
         else {
-            if (qs > 0) { w = put_i32(w, qs); *w++ = clip; }
+            if (qs > 0 && clip_mode != 2) { w = put_i32(w, qs); *w++ = clip; }
             int i = no - 1;
             while (i >= 0) {
                 int j = i;
@@ -216,7 +227,7 @@ int64_t ngm_format_sam(
                 i = j;
             }
             int tail = L - 1 - qe;
-            if (tail > 0) { w = put_i32(w, tail); *w++ = clip; }
+            if (tail > 0 && clip_mode != 2) { w = put_i32(w, tail); *w++ = clip; }
         }
         *w++ = '\t';
 
@@ -226,14 +237,14 @@ int64_t ngm_format_sam(
         *w++ = '\t'; w = put_i32(w, (int32_t)pnext[r]);
         *w++ = '\t'; w = put_i32(w, (int32_t)tlen[r]); *w++ = '\t';
 
-        // SEQ (aligned orientation; hard clip trims)
+        // SEQ (aligned orientation; hard/silent clip trims; unmapped = full)
         const uint8_t* qc = aligned_codes + (int64_t)r * Lmax;
-        int s0 = hard_clip ? qs : 0;
-        int s1 = hard_clip ? qe + 1 : L;
+        int s0 = (clip_mode && mappedr) ? qs : 0;
+        int s1 = (clip_mode && mappedr) ? qe + 1 : L;
         for (int i = s0; i < s1; i++) *w++ = DECODE[qc[i] > 4 ? 4 : qc[i]];
         *w++ = '\t';
 
-        // QUAL (reversed if qual_rev; hard clip trims); empty arena -> '*'
+        // QUAL (reversed if qual_rev; clip trims); empty arena -> '*'
         const char* qa = qual_arena + qual_off[r];
         int qlen = (int)strlen(qa);
         if (qlen == 0) { *w++ = '*'; }
@@ -243,19 +254,15 @@ int64_t ngm_format_sam(
             for (int i = s0; i < s1; i++) *w++ = qa[i];
         }
 
-        // AS + NM + MD tags from the op walk against the genome
-        *w++ = '\t'; *w++ = 'A'; *w++ = 'S'; *w++ = ':'; *w++ = 'i'; *w++ = ':';
-        w = put_i32(w, score[r]);
-        // MD/NM walk (START->END over reversed ops)
-        {
+        if (mappedr) {
+            // AS + NM + MD tags from the op walk against the genome
+            *w++ = '\t'; *w++ = 'A'; *w++ = 'S'; *w++ = ':'; *w++ = 'i'; *w++ = ':';
+            w = put_i32(w, score[r]);
+            // MD/NM walk (START->END over reversed ops)
             int64_t g = gpos_abs[r];
             int qi = qs;
             int nm_cnt = 0;
-            char* mdw = w;  // we write NM first, then MD — need NM count first
-            // first pass: compute NM and MD into a temporary region after w
-            // (MD worst case ~ 5 bytes per column)
-            char mdbuf_local[8192];
-            char* md = mdbuf_local;
+            char* md = mdbuf;
             int run = 0;
             int i = no - 1;
             while (i >= 0) {
@@ -285,28 +292,28 @@ int64_t ngm_format_sam(
                     }
                     nm_cnt += i - j; g += i - j; i = j;
                 }
-                if (md - mdbuf_local > 8000) break;  // clamp pathological MD
             }
             md = put_i32(md, run);
-            mdw = w;
+            char* mdw = w;
             *mdw++ = '\t'; *mdw++ = 'N'; *mdw++ = 'M'; *mdw++ = ':';
             *mdw++ = 'i'; *mdw++ = ':';
             mdw = put_i32(mdw, nm_cnt);
             *mdw++ = '\t'; *mdw++ = 'M'; *mdw++ = 'D'; *mdw++ = ':';
             *mdw++ = 'Z'; *mdw++ = ':';
-            int64_t mdl = md - mdbuf_local;
-            if (mdw + mdl > end) return -1;
-            memcpy(mdw, mdbuf_local, mdl);
+            int64_t mdl = md - mdbuf;
+            if (mdw + mdl > end) { delete[] mdbuf; return -1; }
+            memcpy(mdw, mdbuf, mdl);
             w = mdw + mdl;
+            // XI:f identity tag (parity with the Python writer)
+            *w++ = '\t'; *w++ = 'X'; *w++ = 'I'; *w++ = ':'; *w++ = 'f'; *w++ = ':';
+            w += snprintf(w, 16, "%.4f", identity[r]);
         }
-        // XI:f identity tag (parity with the Python writer)
-        *w++ = '\t'; *w++ = 'X'; *w++ = 'I'; *w++ = ':'; *w++ = 'f'; *w++ = ':';
-        w += snprintf(w, 16, "%.4f", identity[r]);
         const char* rg = rg_suffix;
         while (*rg) *w++ = *rg++;
         *w++ = '\n';
-        if (w > end) return -1;
+        if (w > end) { delete[] mdbuf; return -1; }
     }
+    delete[] mdbuf;
     return w - out;
 }
 

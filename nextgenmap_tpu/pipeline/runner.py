@@ -74,82 +74,107 @@ def load_reference(cfg: NgmConfig, ref_path: str):
     return genome, idx
 
 
+def aligned_rows(codes: np.ndarray, lens: np.ndarray, read_len: int,
+                 strand: np.ndarray) -> np.ndarray:
+    """[n, L] codes in ALIGNED orientation (rc'd where strand==1).
+
+    Short reverse reads are left-shifted after the flip so each row starts at
+    column 0 (rc of a right-padded row is left-padded).
+    """
+    rc = np.where(codes < 4, 3 - codes.astype(np.int16), codes)[:, ::-1]
+    aligned = np.where((strand == 1)[:, None], rc, codes).astype(np.uint8)
+    short = (lens < read_len) & (strand == 1)
+    for i in np.nonzero(short)[0]:
+        L = int(lens[i])
+        aligned[i, :L] = aligned[i, read_len - L:]
+        aligned[i, L:] = 4
+    return aligned
+
+
+def aligned_codes_batch(batch: ReadBatch, strand: np.ndarray, n: int) -> np.ndarray:
+    return aligned_rows(batch.codes[:n], batch.lengths[:n], batch.read_len, strand)
+
+
+def clip_mode_of(cfg: NgmConfig) -> int:
+    return 1 if cfg.hard_clip else (2 if cfg.silent_clip else 0)
+
+
 def _emit_single_native(writer: SamWriter, batch: ReadBatch, res: MapResult,
                         stats: MappingStats) -> None:
     """Native-formatter batch emission (nextgenmap_tpu/native/ngmio.cpp,
-    reference analog SAMWriter.cpp): one C call formats every mapped record;
-    Python only interleaves the (rare) unmapped lines to keep input order."""
+    reference analog SAMWriter.cpp): ONE C call formats the whole batch —
+    mapped and unmapped rows alike — in input order."""
     from nextgenmap_tpu import native
 
-    mapped = np.asarray(res.mapped)
-    strand = np.asarray(res.strand)
-    pos = np.asarray(res.pos).astype(np.int64)
+    t0 = time.perf_counter()
     n = batch.n
+    mapped = np.asarray(res.mapped)[:n].astype(bool)
+    strand = np.where(mapped, np.asarray(res.strand)[:n], 0)
+    pos = np.where(mapped, np.asarray(res.pos)[:n].astype(np.int64), 0)
+    ops_h = np.asarray(res.ops)[:n]
     stats.kmer_fanout_overflow += int(res.fanout_overflow)
     stats.cmr_overflow += int(res.cmr_overflow)
     stats.reads_in += n
-    midx = np.nonzero(mapped[:n])[0]
-    stats.reads_mapped += midx.size
-    stats.reads_unmapped += n - midx.size
+    n_mapped = int(mapped.sum())
+    stats.reads_mapped += n_mapped
+    stats.reads_unmapped += n - n_mapped
+    t1 = time.perf_counter()
+    stats.add_time("fetch", t1 - t0)
 
-    blob_lines: list[bytes] = []
+    genome = writer.genome
+    aligned = aligned_codes_batch(batch, strand, n)
+    ci = np.zeros(n, np.int64)
+    cp = np.full(n, -1, np.int64)
+    midx = np.nonzero(mapped)[0]
     if midx.size:
-        genome = writer.genome
-        codes = batch.codes[:n]
-        rc = np.where(codes < 4, 3 - codes.astype(np.int16), codes)[:, ::-1]
-        aligned = np.where(
-            (strand[:n] == 1)[:, None], rc, codes
-        ).astype(np.uint8)
-        # short reads: rc rows are left-padded after the flip; shift them
-        lens = batch.lengths[:n]
-        short = (lens < batch.read_len) & (strand[:n] == 1)
-        for i in np.nonzero(short)[0]:
-            L = int(lens[i])
-            aligned[i, :L] = aligned[i, batch.read_len - L:]
-            aligned[i, L:] = 4
-        ci, cp = genome.abs_to_chrom(pos[midx])
-        ci = np.atleast_1d(ci)
-        cp = np.atleast_1d(cp)
-        n_ops = np.asarray(res.n_ops)[midx]
-        matches = np.asarray(res.matches)[midx]
-        ident = matches.astype(np.float32) / np.maximum(1, n_ops)
-        blob = native.format_sam(
-            names=[batch.names[i] for i in midx],
-            aligned_codes=aligned[midx],
-            read_len=lens[midx],
-            quals=[batch.quals[i] for i in midx],
-            qual_rev=strand[midx].astype(np.uint8),
-            flag=(strand[midx] * 16).astype(np.int32),
-            chrom_pos=cp.astype(np.int64),
-            rnames=[genome.names[int(c)] for c in ci],
-            mapq=np.asarray(res.mapq)[midx],
-            score=np.asarray(res.score)[midx],
-            ops=np.asarray(res.ops)[midx],
-            n_ops=n_ops,
-            q_start=np.asarray(res.q_start)[midx],
-            q_end=np.asarray(res.q_end)[midx],
-            genome_codes=genome.codes,
-            gpos_abs=pos[midx],
-            rnexts=["*"] * midx.size,
-            pnext=np.zeros(midx.size, np.int64),
-            tlen=np.zeros(midx.size, np.int64),
-            identity=ident,
-            rg_suffix=writer._tags_suffix(),
-            hard_clip=writer.cfg.hard_clip,
-        )
-        if midx.size == n:
-            writer.out.write(blob.decode("ascii"))
-            return
-        blob_lines = blob.splitlines(keepends=True)
-
-    it = iter(blob_lines)
-    for i in range(n):
-        if mapped[i]:
-            writer.out.write(next(it).decode("ascii"))
-        else:
-            L = int(batch.lengths[i])
-            writer.write_unmapped(batch.names[i], batch.codes[i, :L],
-                                  batch.quals[i])
+        mci, mcp = genome.abs_to_chrom(pos[midx])
+        ci[midx] = np.atleast_1d(mci)
+        cp[midx] = np.atleast_1d(mcp)
+    names_arr = np.asarray(genome.names + ["*"], dtype=object)
+    rnames = names_arr[np.where(mapped, ci, len(genome.names))].tolist()
+    n_ops = np.where(mapped, np.asarray(res.n_ops)[:n], 0)
+    matches = np.asarray(res.matches)[:n]
+    ident = matches.astype(np.float32) / np.maximum(1, n_ops)
+    if writer.cfg.no_unal and n_mapped < n:
+        keep = midx
+        sel = lambda a: a[keep]
+        sel_l = lambda xs: [xs[i] for i in keep]
+        n_out = midx.size
+    else:
+        sel = lambda a: a
+        sel_l = lambda xs: xs[:n]
+        n_out = n
+    if n_out == 0:
+        return
+    blob = native.format_sam(
+        names=sel_l(batch.names),
+        aligned_codes=sel(aligned),
+        read_len=sel(batch.lengths[:n]),
+        quals=sel_l(batch.quals),
+        qual_rev=sel(strand.astype(np.uint8)),
+        flag=sel((strand * 16 + (~mapped) * 4).astype(np.int32)),
+        chrom_pos=sel(cp),
+        rnames=sel_l(rnames),
+        mapq=sel(np.where(mapped, np.asarray(res.mapq)[:n], 0)),
+        score=sel(np.asarray(res.score)[:n]),
+        ops=sel(ops_h),
+        n_ops=sel(n_ops),
+        q_start=sel(np.asarray(res.q_start)[:n]),
+        q_end=sel(np.asarray(res.q_end)[:n]),
+        genome_codes=genome.codes,
+        gpos_abs=sel(pos),
+        rnexts=["*"] * n_out,
+        pnext=np.zeros(n_out, np.int64),
+        tlen=np.zeros(n_out, np.int64),
+        identity=sel(ident),
+        rg_suffix=writer._tags_suffix(),
+        clip_mode=clip_mode_of(writer.cfg),
+        is_mapped=sel(mapped.astype(np.uint8)),
+    )
+    t2 = time.perf_counter()
+    stats.add_time("format", t2 - t1)
+    writer.out.write(blob.decode("ascii"))
+    stats.add_time("write", time.perf_counter() - t2)
 
 
 def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,
@@ -157,9 +182,7 @@ def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,
     """Write one single-end batch's records in input order."""
     from nextgenmap_tpu import native
 
-    # the C formatter covers soft/hard clip rendering; --silent-clip is rare
-    # enough to take the Python path
-    if native.lib() is not None and not writer.cfg.silent_clip:
+    if native.lib() is not None:
         return _emit_single_native(writer, batch, res, stats)
     mapped = np.asarray(res.mapped)
     strand = np.asarray(res.strand)
@@ -193,11 +216,113 @@ def emit_single(writer: SamWriter, batch: ReadBatch, res: MapResult,
         )
 
 
+def _emit_single_topn_native(writer: SamWriter, batch: ReadBatch,
+                             results: tuple, stats: MappingStats,
+                             strata: bool, read_len: int) -> None:
+    """Vectorized topn emission: selection masks in numpy, rendering in ONE
+    native call (rows ordered read-major, rank ascending — same order as the
+    Python loop)."""
+    from nextgenmap_tpu import native
+    from nextgenmap_tpu.io.sam import FLAG_SECONDARY, FLAG_UNMAPPED
+
+    n = batch.n
+    J = len(results)
+    F = lambda f: np.stack([np.asarray(getattr(r, f))[:n] for r in results])
+    mapped = F("mapped").astype(bool)     # [J, n]
+    score = F("score")
+    pos = F("pos").astype(np.int64)
+    strand = F("strand")
+    mapq = F("mapq")
+    n_ops = F("n_ops")
+    stats.kmer_fanout_overflow += int(results[0].fanout_overflow)
+    stats.cmr_overflow += int(results[0].cmr_overflow)
+    stats.reads_in += n
+    n_mapped0 = int(mapped[0].sum())
+    stats.reads_mapped += n_mapped0
+    stats.reads_unmapped += n - n_mapped0
+
+    # eligibility chain per the sequential semantics: rank j emits iff every
+    # rank < j kept the chain alive (mapped, score > 0, in-stratum) and j
+    # isn't a near-duplicate (within read_len) of an emitted better hit
+    best = score[0]
+    emit = np.zeros((J, n), bool)
+    chain = mapped[0].copy()
+    for j in range(J):
+        chain = chain & mapped[j] & (score[j] > 0)
+        if strata and j > 0:
+            chain = chain & (score[j] >= best)
+        dup = np.zeros(n, bool)
+        for k in range(j):
+            dup |= emit[k] & (np.abs(pos[j] - pos[k]) <= read_len)
+        emit[j] = chain & ~dup  # duplicates skip this rank but don't break
+    # row matrix [n, J]: column 0 may also carry the unmapped record
+    M = emit.T.copy()
+    unmapped_row = ~mapped[0]
+    if not writer.cfg.no_unal:
+        M[unmapped_row, 0] = True
+    ii, jj = np.nonzero(M)                # read-major, rank-ascending order
+    if ii.size == 0:
+        return
+    row_mapped = mapped[0][ii] & emit[jj, ii]
+    r_strand = np.where(row_mapped, strand[jj, ii], 0)
+    r_pos = np.where(row_mapped, pos[jj, ii], 0)
+    genome = writer.genome
+    ci = np.zeros(ii.size, np.int64)
+    cp = np.full(ii.size, -1, np.int64)
+    ridx = np.nonzero(row_mapped)[0]
+    if ridx.size:
+        mci, mcp = genome.abs_to_chrom(r_pos[ridx])
+        ci[ridx] = np.atleast_1d(mci)
+        cp[ridx] = np.atleast_1d(mcp)
+    names_arr = np.asarray(genome.names + ["*"], dtype=object)
+    rnames = names_arr[np.where(row_mapped, ci, len(genome.names))].tolist()
+    lens = batch.lengths[:n][ii]
+    aligned = aligned_rows(batch.codes[:n][ii], lens, batch.read_len, r_strand)
+    r_nops = np.where(row_mapped, n_ops[jj, ii], 0)
+    ident = F("matches")[jj, ii].astype(np.float32) / np.maximum(1, r_nops)
+    flag = (
+        r_strand * 16
+        + np.where(row_mapped, np.where(jj > 0, FLAG_SECONDARY, 0),
+                   FLAG_UNMAPPED)
+    ).astype(np.int32)
+    blob = native.format_sam(
+        names=[batch.names[i] for i in ii],
+        aligned_codes=aligned,
+        read_len=lens,
+        quals=[batch.quals[i] for i in ii],
+        qual_rev=r_strand.astype(np.uint8),
+        flag=flag,
+        chrom_pos=cp,
+        rnames=rnames,
+        mapq=np.where(row_mapped & (jj == 0), mapq[0][ii], 0),
+        score=score[jj, ii],
+        ops=F("ops")[jj, ii],
+        n_ops=r_nops,
+        q_start=F("q_start")[jj, ii],
+        q_end=F("q_end")[jj, ii],
+        genome_codes=genome.codes,
+        gpos_abs=r_pos,
+        rnexts=["*"] * ii.size,
+        pnext=np.zeros(ii.size, np.int64),
+        tlen=np.zeros(ii.size, np.int64),
+        identity=ident,
+        rg_suffix=writer._tags_suffix(),
+        clip_mode=clip_mode_of(writer.cfg),
+        is_mapped=row_mapped.astype(np.uint8),
+    )
+    writer.out.write(blob.decode("ascii"))
+
+
 def emit_single_topn(writer: SamWriter, batch: ReadBatch, results: tuple,
                      stats: MappingStats, strata: bool, read_len: int) -> None:
     """Emit up to topn alignments per read; entries past the first are SAM
     secondaries (FLAG 0x100).  --strata keeps only the top-score stratum;
     near-duplicates (within a read length of a better hit) are suppressed."""
+    from nextgenmap_tpu import native
+
+    if native.lib() is not None:
+        return _emit_single_topn_native(writer, batch, results, stats,
+                                        strata, read_len)
     from nextgenmap_tpu.io.sam import FLAG_SECONDARY
 
     cols = [
@@ -260,7 +385,66 @@ def _start_fetch(res):
     return res
 
 
-def _prefetch(it, depth: int = 2):
+class _Emitter:
+    """Emission stage of the software pipeline (the reference's writer-thread
+    analog, ref:src/FileWriter.cpp).
+
+    threads <= 1: synchronous one-batch-delay emission (the delay lets the
+    async D2H copies overlap the next batch's device compute).
+    threads >= 2 (-t): a dedicated emitter thread drains a FIFO queue, so SAM
+    formatting + file writes overlap BOTH the device step and the parse
+    thread; ordering is preserved by the single worker + FIFO.  The native
+    formatter releases the GIL during the C call, so this is real overlap.
+    """
+
+    def __init__(self, async_: bool):
+        self.async_ = async_
+        self.pending = None
+        if async_:
+            import queue
+            import threading
+
+            self.q: "queue.Queue" = queue.Queue(maxsize=3)
+            self.err: BaseException | None = None
+            self.t = threading.Thread(target=self._run, daemon=True)
+            self.t.start()
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                fn(args)
+            except BaseException as e:  # surfaced on the next submit/close
+                self.err = e
+                return
+
+    def submit(self, fn, args) -> None:
+        if self.async_:
+            if self.err:
+                raise self.err
+            self.q.put((fn, args))
+        else:
+            if self.pending is not None:
+                pfn, pargs = self.pending
+                pfn(pargs)
+            self.pending = (fn, args)
+
+    def close(self) -> None:
+        if self.async_:
+            self.q.put(None)
+            self.t.join()
+            if self.err:
+                raise self.err
+        elif self.pending is not None:
+            fn, args = self.pending
+            self.pending = None
+            fn(args)
+
+
+def _prefetch(it, depth: int = 2, stats: MappingStats | None = None):
     """Run a generator on a background thread, `depth` items ahead.
 
     Reference analog: the ReadProvider feeding worker threads
@@ -284,7 +468,10 @@ def _prefetch(it, depth: int = 2):
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     while True:
+        t0 = time.perf_counter()
         item = q.get()
+        if stats is not None:
+            stats.add_time("parse_wait", time.perf_counter() - t0)
         if item is DONE:
             return
         if isinstance(item, BaseException):
@@ -463,6 +650,7 @@ def run_mapping(
         _jx.profiler.start_trace(profile_dir)
     def after_emit(res, batch):
         account(res, batch)
+        stats.mark_batch()
         record_batch_lines()
         save_progress()
         if not cfg.no_progress:
@@ -471,11 +659,15 @@ def run_mapping(
                 stats.reads_in, stats.reads_per_sec(), stats.gcups(),
             )
 
-    # software pipeline (the reference's double-buffering analog,
-    # SURVEY.md §2 component 14): a parse thread keeps batches ready, and
-    # batch i+1 is DISPATCHED to the device (async under JAX) before batch
-    # i's results are fetched/emitted on the host — parse, device compute,
-    # and SAM formatting overlap
+    # software pipeline (the reference's thread pipeline analog, SURVEY.md §2
+    # component 14/15): a parse thread keeps batches ready; batch i+1 is
+    # DISPATCHED to the device (async under JAX) before batch i's results are
+    # emitted; with -t >= 2 emission itself moves to a dedicated thread so
+    # parse, device compute, and SAM formatting all overlap
+    emitter = _Emitter(async_=cfg.threads > 1)
+    if cfg.threads > 1:
+        log.info("emitter thread enabled (-t %d)", cfg.threads)
+    prefetch_depth = max(2, cfg.threads)
     if not paired:
         topn = max(1, cfg.topn)
         batches = batch_single(qry, cfg.batch_size, read_len, skip, count)
@@ -494,17 +686,17 @@ def run_mapping(
                 emit_single(writer, batch, res, stats)
                 after_emit(res, batch)
 
-        pending = None
-        for batch in _prefetch(batches):
+        for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
+            t0 = time.perf_counter()
             res = _start_fetch(
                 mapper.map_batch_topn(batch.codes, batch.lengths)
                 if topn > 1 else mapper.map_batch(batch.codes, batch.lengths)
             )
-            if pending is not None:
-                emit(pending)
-            pending = (batch, res)
-        if pending is not None:
-            emit(pending)
+            t1 = time.perf_counter()
+            stats.add_time("dispatch", t1 - t0)
+            emitter.submit(emit, (batch, res))
+            stats.add_time("emit_wait", time.perf_counter() - t1)
+        emitter.close()
     else:
         from nextgenmap_tpu.pair.resolve import emit_paired
 
@@ -516,23 +708,30 @@ def run_mapping(
             from nextgenmap_tpu.parallel.distributed import shard_batches
 
             batches = shard_batches(batches, cfg.dist_procid, cfg.dist_nprocs)
-        pending = None
-        for batch in _prefetch(batches):
-            res = _start_fetch(
-                mapper.map_batch_paired(batch.codes, batch.lengths)
-            )
-            if pending is not None:
-                pb, pr = pending
-                emit_paired(writer, pb, pr, stats)
-                after_emit(pr, pb)
-            pending = (batch, res)
-        if pending is not None:
+
+        def emit_pe(pending):
             pb, pr = pending
             emit_paired(writer, pb, pr, stats)
             after_emit(pr, pb)
+
+        for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
+            t0 = time.perf_counter()
+            res = _start_fetch(
+                mapper.map_batch_paired(batch.codes, batch.lengths)
+            )
+            t1 = time.perf_counter()
+            stats.add_time("dispatch", t1 - t0)
+            emitter.submit(emit_pe, (batch, res))
+            stats.add_time("emit_wait", time.perf_counter() - t1)
+        emitter.close()
     if profile_dir:
         _jx.profiler.stop_trace()
         log.info("profiler trace written to %s", profile_dir)
+    if stats.timing:
+        log.info(
+            "host phase seconds: %s",
+            {k: round(v, 2) for k, v in sorted(stats.timing.items())},
+        )
     save_progress(complete=True)
     if cfg.bam or out_path not in (None, "-"):
         out.close()

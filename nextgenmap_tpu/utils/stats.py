@@ -27,10 +27,34 @@ class MappingStats:
     alignments_computed: int = 0
     cells_computed: int = 0         # SW DP cells (for GCUPS)
     start_time: float = field(default_factory=time.time)
+    # steady-state window: set when the FIRST batch lands (jit compile +
+    # index build behind it), so streaming_reads_per_sec excludes one-time
+    # costs — the number that matters for a persistent mapping service
+    first_batch_time: float = 0.0
+    first_batch_reads: int = 0
+    # host phase timers (seconds, cumulative; filled when NGMTPU_TIMING=1):
+    # parse = blocking on the parse thread, fetch = device->host wait,
+    # format = numpy prep + native C call, write = file write
+    timing: dict = field(default_factory=dict)
+
+    def add_time(self, phase: str, dt: float) -> None:
+        self.timing[phase] = self.timing.get(phase, 0.0) + dt
+
+    def mark_batch(self) -> None:
+        if self.first_batch_time == 0.0:
+            self.first_batch_time = time.time()
+            self.first_batch_reads = self.reads_in
 
     def reads_per_sec(self) -> float:
         dt = time.time() - self.start_time
         return self.reads_in / dt if dt > 0 else 0.0
+
+    def streaming_reads_per_sec(self) -> float:
+        if self.first_batch_time == 0.0:
+            return 0.0
+        dt = time.time() - self.first_batch_time
+        n = self.reads_in - self.first_batch_reads
+        return n / dt if dt > 0 else 0.0
 
     def gcups(self) -> float:
         dt = time.time() - self.start_time
@@ -42,6 +66,8 @@ class MappingStats:
             f"reads: {self.reads_in}  mapped: {self.reads_mapped} "
             f"({100.0 * self.reads_mapped / total:.2f}%)  "
             f"unmapped: {self.reads_unmapped}  "
-            f"R/S: {self.reads_per_sec():.0f}  GCUPS: {self.gcups():.2f}  "
+            f"R/S: {self.reads_per_sec():.0f} "
+            f"(streaming: {self.streaming_reads_per_sec():.0f})  "
+            f"GCUPS: {self.gcups():.2f}  "
             f"overflows(kmer/cmr): {self.kmer_fanout_overflow}/{self.cmr_overflow}"
         )

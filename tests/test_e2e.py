@@ -169,3 +169,24 @@ def test_multi_device_dp_identical(e2e_dir):
     four = run_map(e2e_dir, "reads.fq", "dp4.sam", ("--devices", "4"))
     strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
     assert strip(one) == strip(four)
+
+
+def test_threads_flag_wires_async_emitter(e2e_dir, monkeypatch):
+    """-t >= 2 must engage the emitter thread (VERDICT r1: no inert flags)
+    and produce byte-identical output."""
+    import nextgenmap_tpu.pipeline.runner as R
+
+    created = []
+    orig = R._Emitter
+
+    class Spy(orig):
+        def __init__(self, async_):
+            created.append(async_)
+            super().__init__(async_)
+
+    monkeypatch.setattr(R, "_Emitter", Spy)
+    one = run_map(e2e_dir, "reads.fq", "thr1.sam")
+    four = run_map(e2e_dir, "reads.fq", "thr4.sam", ("-t", "4"))
+    strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
+    assert strip(one) == strip(four)
+    assert created == [False, True]
