@@ -267,84 +267,165 @@ def banded_sw_align(
     e0 = jnp.full((B, W), NEG, jnp.int32)
     init = (h0, e0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
     (_, _, best, bi, bo), dirs = jax.lax.scan(body, init, jnp.arange(L, dtype=jnp.int32))
-    dirs = jnp.transpose(dirs, (1, 0, 2))  # [B, L, W]
-    # stays uint8: the backwalk re-reads this [B, L*W] array from HBM every
-    # step (the masked-sum fetch), so its BYTE width is the walk's bandwidth
-    # bill — int32 here measured 4x slower end-to-end on v5e
-    dflat = dirs.reshape(B, L * W)
+    # dirs stays [L, B, W] uint8: the row-synchronized backwalk slices ONE
+    # contiguous row [B, W] per iteration (cheap leading-axis dynamic slice),
+    # instead of re-reading the whole [B, L*W] matrix per emitted op like the
+    # old per-step walk did (~150x the HBM traffic at L=100/W=48)
+    return _backwalk_rows(dirs, best, bi, bo, MO)
 
-    # ---- vectorized backwalk (fixed-length scan, no per-step gathers) ----
-    # Every active step emits exactly one op: an H-cell whose source is E/F
-    # emits the first gap op immediately and continues in the gap phase iff
-    # the cell's extend bit is set (collapsing the old transition steps).
-    # The direction byte is fetched with a dense masked sum over [B, L*W]
-    # (VPU work) instead of a [B]-element gather per step — element gathers
-    # inside device loops are the single worst TPU serialization pattern.
-    PH_H, PH_E, PH_F = 0, 1, 2
-    LW = L * W
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, LW), 1)
 
-    def step(st, _):
-        i, o, ph = st["i"], st["o"], st["ph"]
-        inb = (i >= 0) & (i < L) & (o >= 0) & (o < W)
-        idx = jnp.clip(i * W + o, 0, LW - 1)
-        d = jnp.sum(
-            jnp.where((col == idx[:, None]) & inb[:, None], dflat, 0)
-            .astype(jnp.int32),
-            axis=1,
+def _cummax(x, axis):
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+
+
+def _extract_at(row_i32, o, W):
+    """row[b, o[b]] without a gather: dense compare-sum over [B, W]."""
+    col = jax.lax.broadcasted_iota(jnp.int32, row_i32.shape, 1)
+    sel = (col == o[:, None]) & (o >= 0)[:, None] & (o < W)[:, None]
+    return jnp.sum(jnp.where(sel, row_i32, 0), axis=1)
+
+
+def _backwalk_rows(dirs, best, bi, bo, MO):
+    """Row-synchronized traceback (SURVEY component 19, ref:src/SWOclCigar.cpp
+    analog).
+
+    One iteration per query row, top row first.  A read is processed in the
+    iteration matching its current row: M/I consume one op and move up a row;
+    a D run (gaps consuming reference only) stays WITHIN the row, so its whole
+    length is resolved at once with a vectorized run-length trick — cont(c) =
+    "the walk that just emitted D at cell c also emits D at c-1" =
+    f_bit(c) | (hsrc(c-1) == 3); the run ends at the largest c <= o with
+    ¬cont(c) (one cummax), after which the trail cell c-1 emits the row's
+    closing M/I (or stops).  Per iteration: a few [B, W] compare-sums + two
+    [B, MO] masked buffer writes — no gathers, no [B, L*W] re-reads.
+
+    Bit-identical to the original per-step walk (asserted by
+    tests/test_sw.py::test_row_walk_equivalence and the oracle tests).
+    """
+    L, B, W = dirs.shape
+    PH_H, PH_E = 0, 1
+    iota_mo = jax.lax.broadcasted_iota(jnp.int32, (B, MO), 1)
+
+    def step(st, t):
+        i_t = L - 1 - t
+        row = jax.lax.dynamic_slice_in_dim(dirs, i_t, 1, axis=0)[0].astype(jnp.int32)
+        o, ph = st["o"], st["ph"]
+        sel = st["active"] & (st["i"] == i_t)
+
+        d_entry = _extract_at(row, o, W)
+        hsrc = d_entry & 3
+        e_bit = (d_entry >> 2) & 1
+        m_bit = (d_entry >> 4) & 1
+
+        inb = (o >= 0) & (o < W)
+        in_e = sel & inb & (ph == PH_E)
+        at_h = sel & inb & (ph == PH_H)
+        stop0 = at_h & (hsrc == 0)
+        is_m1 = at_h & (hsrc == 1)
+        is_i1 = at_h & (hsrc == 2)
+        is_dr = at_h & (hsrc == 3)
+
+        # ---- D run resolved in-row (hsrc == 3) ----
+        hsrc3 = (row & 3) == 3
+        f_bit_row = ((row >> 3) & 1) == 1
+        hsrc3_left = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), hsrc3[:, :-1]], axis=1
         )
-        hsrc = d & 3
-        active = st["active"] & inb & ((ph != PH_H) | (hsrc != 0))
+        cont = f_bit_row | hsrc3_left
+        colw = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        nc = jnp.where(~cont, colw, -1)
+        last_nc = _cummax(nc, axis=1)                 # [B, W]
+        ce = _extract_at(last_nc, o, W)               # run-end cell (or -1)
+        k = jnp.where(is_dr, jnp.where(ce >= 0, o - ce + 1, o + 1), 0)
+        o_trail = jnp.where(ce >= 0, ce - 1, -1)
+        has_trail = is_dr & (o_trail >= 0)
+        d_trail = jnp.where(has_trail, _extract_at(row, o_trail, W), 0)
+        t_hsrc = d_trail & 3
+        t_ebit = (d_trail >> 2) & 1
+        t_mbit = (d_trail >> 4) & 1
+        trail_m = has_trail & (t_hsrc == 1)
+        trail_i = has_trail & (t_hsrc == 2)
 
-        is_m = active & (ph == PH_H) & (hsrc == 1)
-        is_i = active & ((ph == PH_E) | ((ph == PH_H) & (hsrc == 2)))
-        is_d = active & ((ph == PH_F) | ((ph == PH_H) & (hsrc == 3)))
-
-        op = jnp.where(
-            is_m, OP_M, jnp.where(is_i, OP_I, jnp.where(is_d, OP_D, OP_NONE))
+        # ---- op emission into the END->START buffer at cursor c ----
+        c = st["c"]
+        emit_i = in_e | is_i1
+        emit_m = is_m1
+        kD = k                                        # 0 unless is_dr
+        dmask = (iota_mo >= c[:, None]) & (iota_mo < (c + kD)[:, None])
+        ops = jnp.where(dmask & is_dr[:, None], OP_D, st["ops"])
+        single = jnp.where(
+            emit_m, OP_M,
+            jnp.where(emit_i, OP_I,
+                      jnp.where(trail_m, OP_M,
+                                jnp.where(trail_i, OP_I, OP_NONE))),
+        )
+        spos = c + kD
+        has_single = emit_m | emit_i | trail_m | trail_i
+        ops = jnp.where(
+            (iota_mo == spos[:, None]) & has_single[:, None],
+            single[:, None], ops,
         ).astype(jnp.uint8)
+        c = c + kD + has_single.astype(jnp.int32)
 
-        m_hit = is_m & ((d >> 4) & 1 == 1)
+        # ---- counters ----
+        m_hit = (emit_m & (m_bit == 1)) | (trail_m & (t_mbit == 1))
+        m_miss = (emit_m & (m_bit == 0)) | (trail_m & (t_mbit == 0))
         matches = st["matches"] + m_hit.astype(jnp.int32)
-        mismatches = st["mismatches"] + (is_m & ~m_hit).astype(jnp.int32)
-        indels = st["indels"] + (is_i | is_d).astype(jnp.int32)
+        mismatches = st["mismatches"] + m_miss.astype(jnp.int32)
+        indels = st["indels"] + kD + emit_i.astype(jnp.int32) + trail_i.astype(jnp.int32)
 
-        ni = jnp.where(is_m | is_i, i - 1, i)
-        no = jnp.where(is_i, o + 1, jnp.where(is_d, o - 1, o))
-        e_bit = (d >> 2) & 1
-        f_bit = (d >> 3) & 1
-        nph = jnp.where(
-            is_m, PH_H,
-            jnp.where(is_i, jnp.where(e_bit == 1, PH_E, PH_H),
-                      jnp.where(is_d, jnp.where(f_bit == 1, PH_F, PH_H), ph)),
+        # ---- coordinates: last consumed cell wins ----
+        qs = jnp.where(emit_m | emit_i | trail_m | trail_i, i_t, st["qs"])
+        rs = jnp.where(
+            trail_m, i_t + o_trail,
+            jnp.where(is_dr & (k > 0), i_t + jnp.maximum(ce, 0),
+                      jnp.where(emit_m, i_t + o, st["rs"])),
         )
-        # record the last consumed cell to derive start coordinates
-        qs = jnp.where(is_m | is_i, i, st["qs"])
-        rs = jnp.where(is_m | is_d, i + o, st["rs"])
+
+        # ---- next state ----
+        moved_up = emit_m | emit_i | trail_m | trail_i
+        ni = jnp.where(moved_up, i_t - 1, st["i"])
+        no = jnp.where(
+            emit_i | trail_i,
+            jnp.where(trail_i, o_trail + 1, o + 1),
+            jnp.where(trail_m, o_trail, o),
+        )
+        nph = jnp.where(
+            (emit_i & (e_bit == 1)) | (trail_i & (t_ebit == 1)), PH_E, PH_H
+        )
+        # deactivation: explicit stop, trail stop (t_hsrc==0 after a run),
+        # a run falling off the band edge (ce == -1), or an out-of-band
+        # position (the old per-step walk's inb check)
+        dead = (
+            stop0 | (is_dr & ~has_trail) | (has_trail & (t_hsrc == 0))
+            | (sel & ~inb)
+        )
         nst = {
-            "i": jnp.where(active, ni, i), "o": jnp.where(active, no, o),
-            "ph": jnp.where(active, nph, ph), "active": active,
-            "nops": st["nops"] + active.astype(jnp.int32),
+            "i": jnp.where(sel, ni, st["i"]),
+            "o": jnp.where(sel, no, o),
+            "ph": jnp.where(sel, nph, ph),
+            "active": st["active"] & ~dead,
+            "c": c, "ops": ops,
             "matches": matches, "mismatches": mismatches, "indels": indels,
             "qs": qs, "rs": rs,
         }
-        return nst, op
+        return nst, None
 
     st0 = {
         "i": bi, "o": bo, "ph": jnp.zeros(B, jnp.int32),
         "active": best > 0,
-        "nops": jnp.zeros(B, jnp.int32),
+        "c": jnp.zeros(B, jnp.int32),
+        "ops": jnp.full((B, MO), OP_NONE, jnp.uint8),
         "matches": jnp.zeros(B, jnp.int32),
         "mismatches": jnp.zeros(B, jnp.int32),
         "indels": jnp.zeros(B, jnp.int32),
         "qs": bi, "rs": bi + bo,
     }
-    st, ops_steps = jax.lax.scan(step, st0, None, length=MO)
-    ops = jnp.transpose(ops_steps, (1, 0))  # [B, MO], END->START, no holes
+    st, _ = jax.lax.scan(step, st0, jnp.arange(L, dtype=jnp.int32))
     return AlignResult(
         score=best,
         q_start=st["qs"], q_end=bi,
         r_start=st["rs"], r_end=bi + bo,
-        ops=ops, n_ops=st["nops"],
+        ops=st["ops"], n_ops=st["c"],
         matches=st["matches"], mismatches=st["mismatches"], indels=st["indels"],
     )

@@ -169,3 +169,48 @@ def test_cigar_string_helper():
     # end->start ops: [M M I M] reversed is M I M M
     s = cigar_from_ops([OP_M, OP_M, OP_I, OP_M], q_start=2, q_end=6, qlen=10)
     assert s == "2S1M1I2M3S"
+
+
+def test_align_cigar_multi_indel_affine():
+    """Long deletion/insertion RUNS with true affine gaps (extend < open):
+    exercises the row-walk's in-row D-run resolution and PH_E/PH_F chains
+    (the old per-step walk was replaced by the row-synchronized walk)."""
+    rng = np.random.default_rng(77)
+    for trial in range(40):
+        L = int(rng.integers(30, 61))
+        W = int(rng.choice([16, 24]))
+        ref = rng.integers(0, 4, L + W).astype(np.uint8)
+        q = ref[2 : 2 + L].copy()
+        # one or two long indels (up to W-4 bases)
+        for _ in range(int(rng.integers(1, 3))):
+            glen = int(rng.integers(2, max(3, W - 4)))
+            p = int(rng.integers(5, L - glen - 5))
+            if rng.random() < 0.5:  # deletion from query (D run)
+                q = np.concatenate([
+                    q[:p], q[p + glen:], rng.integers(0, 4, glen).astype(np.uint8)
+                ])[:L]
+            else:                   # insertion into query (I run)
+                q = np.concatenate([
+                    q[:p], rng.integers(0, 4, glen).astype(np.uint8), q[p:]
+                ])[:L]
+        # a few SNPs on top
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, L))
+            q[p] = (q[p] + 1 + rng.integers(0, 3)) % 4
+        gq, gr = int(rng.integers(15, 30)), int(rng.integers(15, 30))
+        ge = int(rng.integers(2, 8))  # extend << open: affine chains
+        qp = np.full(LPAD, 4, np.uint8)
+        qp[:L] = q
+        rp = np.full(LPAD + W, 4, np.uint8)
+        rp[: L + W] = ref
+        res = banded_sw_align(
+            jnp.asarray(qp)[None], jnp.asarray([L], jnp.int32), jnp.asarray(rp)[None],
+            jnp.asarray(MAT), jnp.int32(gq), jnp.int32(gr), jnp.int32(ge), band=W,
+        )
+        oracle = banded_sw_oracle(qp, L, rp, MAT, gq, gr, ge, W)
+        assert int(res.score[0]) == oracle["score"], f"trial {trial}"
+        n = int(res.n_ops[0])
+        assert res.ops[0, :n].tolist() == oracle["ops"], f"trial {trial}"
+        for f in ("q_start", "q_end", "r_start", "r_end",
+                  "matches", "mismatches", "indels"):
+            assert int(getattr(res, f)[0]) == oracle[f], (trial, f)
