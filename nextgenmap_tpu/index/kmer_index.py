@@ -132,12 +132,41 @@ class KmerIndex:
         genome_sha1: str = "",
         canonical: bool = False,
     ) -> "KmerIndex":
-        """Two-pass CSR build (vectorized numpy; one-time cost, memoized)."""
+        """Two-pass CSR build — native C passes when available (seconds for a
+        gigabase genome, ref:src/CompactPrefixTable.cpp analog), vectorized
+        numpy otherwise (byte-identical arrays; asserted in tests)."""
         assert not (canonical and collapse != "none"), "canonical excludes collapse"
         if canonical and genome_codes.shape[0] >= 2**30:
             canonical = False  # (pos<<1) must fit int32 on device
         n = genome_codes.shape[0]
         nb = 4**k
+
+        from nextgenmap_tpu import native
+
+        if native.lib() is not None:
+            t0 = __import__("time").time()
+            counts = native.index_count(genome_codes, k, skip, collapse, canonical)
+            dropped = counts > max_freq
+            n_dropped = int(dropped.sum())
+            counts[dropped] = 0
+            offsets = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            total = int(offsets[-1])
+            positions = native.index_fill(
+                genome_codes, k, skip, collapse, canonical, dropped,
+                offsets, total,
+            )
+            log.info(
+                "index built (native): k=%d skip=%d, %d positions, "
+                "%d k-mers repeat-masked, %.1fs",
+                k, skip, total, n_dropped, __import__("time").time() - t0,
+            )
+            return cls(
+                k=k, skip=skip, max_freq=max_freq, collapse=collapse,
+                genome_sha1=genome_sha1, offsets=offsets, positions=positions,
+                canonical=canonical,
+            )
+
         counts = np.zeros(nb, dtype=np.int64)
 
         def chunks():

@@ -55,6 +55,8 @@ def lib():
         L = ctypes.CDLL(so_path)
         L.ngm_parse_reads.restype = ctypes.c_int
         L.ngm_format_sam.restype = ctypes.c_int64
+        L.ngm_index_count.restype = None
+        L.ngm_index_fill.restype = None
         _LIB = L
     except (OSError, subprocess.CalledProcessError) as e:
         log.warning("native IO unavailable (%s); using Python paths", e)
@@ -101,6 +103,44 @@ def parse_reads(buf: bytes, final: bool, max_reads: int, lmax: int):
         q = qb[o : qb.index(b"\x00", o)]
         quals.append(q if q else None)
     return n, codes, lengths, names, quals, int(consumed.value)
+
+
+_COLLAPSE = {"none": 0, "ct": 1, "ga": 2}
+
+
+def index_count(codes: np.ndarray, k: int, skip: int, collapse: str,
+                canonical: bool) -> np.ndarray:
+    """Pass 1 of the CSR build: per-k-mer occurrence counts (int64 [4^k])."""
+    L = lib()
+    assert L is not None
+    counts = np.zeros(4 ** k, np.int64)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    L.ngm_index_count(
+        _ptr(codes), ctypes.c_int64(codes.shape[0]), ctypes.c_int(k),
+        ctypes.c_int(skip), ctypes.c_int(_COLLAPSE[collapse]),
+        ctypes.c_int(1 if canonical else 0), _ptr(counts),
+    )
+    return counts
+
+
+def index_fill(codes: np.ndarray, k: int, skip: int, collapse: str,
+               canonical: bool, dropped: np.ndarray,
+               offsets: np.ndarray, total: int) -> np.ndarray:
+    """Pass 2: fill the CSR positions array (genome-ascending per row)."""
+    L = lib()
+    assert L is not None
+    positions = np.empty(total, np.uint32)
+    cursor = offsets[:-1].copy()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    L.ngm_index_fill(
+        _ptr(codes), ctypes.c_int64(codes.shape[0]), ctypes.c_int(k),
+        ctypes.c_int(skip), ctypes.c_int(_COLLAPSE[collapse]),
+        ctypes.c_int(1 if canonical else 0),
+        _ptr(np.ascontiguousarray(dropped, np.uint8)),
+        _ptr(cursor), _ptr(positions),
+    )
+    assert np.array_equal(cursor, offsets[1:]), "native CSR fill mismatch"
+    return positions
 
 
 def format_sam(

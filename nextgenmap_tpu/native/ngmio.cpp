@@ -317,4 +317,80 @@ int64_t ngm_format_sam(
     return w - out;
 }
 
+// ---------------------------------------------------------------------------
+// K-mer index build passes (reference analog: the CompactPrefixTable two-pass
+// build, ref:src/CompactPrefixTable.cpp — the HOT first-run path for gigabase
+// genomes; the vectorized numpy build takes tens of minutes at 600M positions,
+// these native passes take seconds).
+//
+// collapse: 0 none, 1 C->T (bisulfite fwd), 2 G->A (bisulfite rc).
+// Positions are filled in ascending genome order per k-mer row (the CSR
+// determinism spec relies on this), so the fill pass is sequential.
+
+static inline uint8_t collapse_code(uint8_t c, int collapse) {
+    if (collapse == 1 && c == 1) return 3;  // C -> T
+    if (collapse == 2 && c == 2) return 0;  // G -> A
+    return c;
+}
+
+// canonical != 0: the bucket is min(kmer, revcomp(kmer)) and the stored
+// position is (start << 1) | flip — matching kmer_values_canonical / the
+// device build's v3 entry encoding.
+
+void ngm_index_count(
+    const uint8_t* codes, int64_t n, int k, int skip, int collapse,
+    int canonical, int64_t* counts /* [4^k] */)
+{
+    const uint64_t mask = (1ULL << (2 * k)) - 1;
+    const int rshift = 2 * (k - 1);
+    uint64_t v = 0, rv = 0;
+    int valid = 0;  // consecutive ACGT codes ending at i
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = collapse_code(codes[i], collapse);
+        if (c < 4) {
+            v = ((v << 2) | c) & mask;
+            rv = (rv >> 2) | ((uint64_t)(3 - c) << rshift);
+            valid++;
+        } else {
+            valid = 0;
+        }
+        int64_t start = i - k + 1;
+        if (valid >= k && start % skip == 0) {
+            uint64_t key = (canonical && rv < v) ? rv : v;
+            counts[key]++;
+        }
+    }
+}
+
+void ngm_index_fill(
+    const uint8_t* codes, int64_t n, int k, int skip, int collapse,
+    int canonical, const uint8_t* dropped /* [4^k] bool */,
+    int64_t* cursor /* [4^k] */, uint32_t* positions)
+{
+    const uint64_t mask = (1ULL << (2 * k)) - 1;
+    const int rshift = 2 * (k - 1);
+    uint64_t v = 0, rv = 0;
+    int valid = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = collapse_code(codes[i], collapse);
+        if (c < 4) {
+            v = ((v << 2) | c) & mask;
+            rv = (rv >> 2) | ((uint64_t)(3 - c) << rshift);
+            valid++;
+        } else {
+            valid = 0;
+        }
+        int64_t start = i - k + 1;
+        if (valid >= k && start % skip == 0) {
+            int flip = canonical && rv < v;
+            uint64_t key = flip ? rv : v;
+            if (dropped[key]) continue;
+            uint32_t pos = canonical
+                ? (((uint32_t)start << 1) | (uint32_t)flip)
+                : (uint32_t)start;
+            positions[cursor[key]++] = pos;
+        }
+    }
+}
+
 }  // extern "C"

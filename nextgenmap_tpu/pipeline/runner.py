@@ -523,12 +523,7 @@ def run_mapping(
             )
         if out_path in (None, "-"):
             raise ValueError("multi-host mapping requires -o <file>")
-        if cfg.bam:
-            raise ValueError(
-                "multi-host + --bam unsupported: map to SAM shards, convert after"
-            )
-        if resume:
-            raise ValueError("multi-host + --resume not supported (yet)")
+        # parts are always SAM text; --bam is applied by process 0's merge
         out_path = dist_mod.part_path(final_out, cfg.dist_procid, cfg.dist_nprocs)
 
     ndev = cfg.devices or len(_jax.local_devices())
@@ -545,20 +540,38 @@ def run_mapping(
     assert first_file, "no query reads given"
     read_len = cfg.read_len or peek_read_len(first_file)
     log.info("read length (padded): %d", read_len)
+    # long reads (ref supports ~36-1000 bp): per-read DP state scales
+    # L x corridor, so shrink the batch to keep the traceback direction
+    # matrix bounded — deterministic from the input, so resume-safe
+    if read_len > 250 and cfg.batch_size == NgmConfig().batch_size:
+        m = 2 * max(1, ndev)
+        eff = max(m * 8, cfg.batch_size * 150 // read_len // m * m)
+        if eff != cfg.batch_size:
+            log.info("long reads (%d bp): batch_size %d -> %d",
+                     read_len, cfg.batch_size, eff)
+            cfg = cfg.replace(batch_size=eff)
 
     # -- checkpoint/resume bookkeeping --
     progress_path = (
         f"{out_path}.ngmt-progress.json" if out_path not in (None, "-") else None
     )
     # the hash covers mapping SEMANTICS; the input window (qry_start/count)
-    # is exactly what resume adjusts, so it must not invalidate a checkpoint
+    # is exactly what resume adjusts, and flags that change no record bytes
+    # (merge/progress/threads/memoization) must not invalidate a checkpoint
     cfg_sha = hashlib.sha1(
-        cfg.replace(qry_start=0, qry_count=0).to_json().encode()
+        cfg.replace(
+            qry_start=0, qry_count=0, no_merge=False, no_progress=False,
+            threads=1, skip_save=False,
+        ).to_json().encode()
     ).hexdigest()
     skip = max(0, cfg.qry_start)
     count = max(0, cfg.qry_count)
     prior = 0
     append = False
+    own_done = 0                    # multi-host: own batches already emitted
+    saved_batch_lines: list[int] = []
+    saved_batch_bytes: list[int] = []
+    restored_ob = 0
     if resume and progress_path and os.path.exists(progress_path):
         try:
             p = json.load(open(progress_path))
@@ -568,12 +581,22 @@ def run_mapping(
             p.get("config_sha") == cfg_sha
             and not p.get("complete")
             and os.path.exists(out_path)
-            and not cfg.bam  # BGZF cannot be appended record-wise
+            # BGZF cannot be appended record-wise, but multi-host parts are
+            # always SAM text (the merge encodes BAM), so dist+bam resumes
+            and (not cfg.bam or dist)
         ):
             prior = int(p.get("reads_emitted", 0))
-            skip += prior
-            if count:
-                count = max(0, count - prior)
+            if dist:
+                # per-part resume (SURVEY.md §5.4 per-host cursors): this
+                # process skips its own already-emitted batches; the sidecar
+                # carries the per-batch line/byte ledger the merge needs
+                saved_batch_lines = list(p.get("batch_lines") or [])
+                saved_batch_bytes = list(p.get("batch_bytes") or [])
+                own_done = len(saved_batch_lines)
+            else:
+                skip += prior
+                if count:
+                    count = max(0, count - prior)
             append = prior > 0
             # a kill mid-batch leaves partial records past the checkpoint;
             # drop them so the in-flight batch re-emits idempotently
@@ -583,6 +606,7 @@ def run_mapping(
                 with open(out_path, "r+") as tf:
                     tf.truncate(ob)
                 log.info("truncated %s to checkpointed %d bytes", out_path, ob)
+            restored_ob = int(ob or 0)
             log.info("resuming after %d already-emitted reads", prior)
 
     def save_progress(complete: bool = False) -> None:
@@ -600,18 +624,25 @@ def run_mapping(
         except (OSError, ValueError, AttributeError):
             out_bytes = None
         tmp = progress_path + ".tmp"
+        doc = {
+            "reads_emitted": prior + stats.reads_in,
+            "config_sha": cfg_sha,
+            "out_bytes": out_bytes,
+            "complete": complete,
+        }
+        if dist:
+            # the per-batch ledger the round-robin merge interleaves by;
+            # persisted so a per-part resume can continue it
+            doc["batch_lines"] = batch_lines
+            doc["batch_bytes"] = batch_bytes
+            doc["header_lines"] = header_lines
         with open(tmp, "w") as f:
-            json.dump({
-                "reads_emitted": prior + stats.reads_in,
-                "config_sha": cfg_sha,
-                "out_bytes": out_bytes,
-                "complete": complete,
-            }, f)
+            json.dump(doc, f)
         os.replace(tmp, progress_path)
 
     mapper = Mapper(cfg, genome, read_len, index)
     stats = MappingStats()
-    if cfg.bam:
+    if cfg.bam and not dist:
         from nextgenmap_tpu.io.bam import BamTextWriter
 
         if out_path in (None, "-"):
@@ -622,16 +653,27 @@ def run_mapping(
     if dist:
         from nextgenmap_tpu.parallel.distributed import CountingWriter
 
-        out = CountingWriter(out)
+        out = CountingWriter(
+            out,
+            lines=(int(p.get("header_lines", 0)) + sum(saved_batch_lines))
+            if append else 0,
+            nbytes=restored_ob if append else 0,
+        )
     writer = SamWriter(genome, cfg, out, cmdline)
     if not append:
         writer.write_header()
-    header_lines = out.lines if dist else 0
-    batch_lines: list[int] = []
+    header_lines = (
+        (int(p.get("header_lines", 0)) if append else out.lines)
+        if dist else 0
+    )
+    batch_lines: list[int] = list(saved_batch_lines)
+    batch_bytes: list[int] = list(saved_batch_bytes)
+    header_bytes = (out.nbytes - sum(batch_bytes)) if dist else 0
 
     def record_batch_lines() -> None:
         if dist:
             batch_lines.append(out.lines - header_lines - sum(batch_lines))
+            batch_bytes.append(out.nbytes - header_bytes - sum(batch_bytes))
 
     cells_per_aln = read_len * mapper.band  # for the GCUPS counter
 
@@ -672,9 +714,13 @@ def run_mapping(
         topn = max(1, cfg.topn)
         batches = batch_single(qry, cfg.batch_size, read_len, skip, count)
         if dist:
+            import itertools
+
             from nextgenmap_tpu.parallel.distributed import shard_batches
 
             batches = shard_batches(batches, cfg.dist_procid, cfg.dist_nprocs)
+            if own_done:
+                batches = itertools.islice(batches, own_done, None)
 
         def emit(pending):
             batch, res = pending
@@ -705,9 +751,13 @@ def run_mapping(
         batches = batch_paired(qry1 or qry, qry2, cfg.batch_size, read_len,
                                skip, count)
         if dist:
+            import itertools
+
             from nextgenmap_tpu.parallel.distributed import shard_batches
 
             batches = shard_batches(batches, cfg.dist_procid, cfg.dist_nprocs)
+            if own_done:
+                batches = itertools.islice(batches, own_done, None)
 
         def emit_pe(pending):
             pb, pr = pending
@@ -743,9 +793,11 @@ def run_mapping(
         dist_mod.write_manifest(
             final_out, cfg.dist_procid, cfg.dist_nprocs,
             header_lines, batch_lines, sd, complete=True,
+            batch_bytes=batch_bytes,
         )
         if cfg.dist_procid == 0 and not cfg.no_merge:
-            totals = dist_mod.merge_parts(final_out, cfg.dist_nprocs)
+            totals = dist_mod.merge_parts(final_out, cfg.dist_nprocs,
+                                          bam=cfg.bam)
             log.info(
                 "done (all %d hosts): reads: %d  mapped: %d  unmapped: %d",
                 cfg.dist_nprocs, totals.get("reads_in", 0),
