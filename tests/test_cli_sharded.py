@@ -102,3 +102,36 @@ def test_rejected_combos(shard_dir):
         NgmConfig(index_shards=2, bs_mapping=True).validate()
     with pytest.raises(ValueError):
         NgmConfig(index_shards=2, topn=3).validate()
+
+
+def test_dist_plus_index_shards(shard_dir, tmp_path):
+    """BASELINE config 4 composition: reads round-robin across hosts (dist),
+    index position-sharded over each host's LOCAL devices (ish) — per-shard
+    merges ride ICI only, cross-host traffic is just read/output sharding.
+    Two real processes, each on a (dp=2, ish=2) local mesh."""
+    import os
+    import subprocess
+    import sys
+
+    d = shard_dir
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = run_map(d, "dist_base.sam")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out = tmp_path / "dist_ish.sam"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "nextgenmap_tpu.cli", "map",
+             "-r", str(d / "ref.fa"), "-q", str(d / "reads.fq"),
+             "-o", str(out), "-k", "11", "--batch-size", "32",
+             "--no-progress", "--index-shards", "2", "--devices", "4",
+             "--dist-nprocs", "2", "--dist-procid", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    got = [l for l in out.read_text().splitlines() if not l.startswith("@PG")]
+    assert got == base
