@@ -393,4 +393,37 @@ void ngm_index_fill(
     }
 }
 
+// ---------------------------------------------------------------------------
+// CSR position-range sharding passes (parallel/index_shard.py::ShardedIndex).
+// Splitting a gigabase CSR (1.2B entries) with numpy repeat/bincount costs
+// ~10 minutes and ~20 GB; these two passes stream the CSR once per shard.
+
+void ngm_shard_count(
+    const int64_t* offsets, int64_t nb, const uint32_t* positions,
+    int64_t lo, int64_t hi, int64_t* counts /* [nb] */)
+{
+    for (int64_t r = 0; r < nb; r++) {
+        int64_t c = 0;
+        for (int64_t i = offsets[r]; i < offsets[r + 1]; i++) {
+            uint32_t p = positions[i];
+            if (p >= lo && p < hi) c++;
+        }
+        counts[r] = c;
+    }
+}
+
+void ngm_shard_fill(
+    const int64_t* offsets, int64_t nb, const uint32_t* positions,
+    int64_t lo, int64_t hi, const int64_t* out_off /* [nb+1] */,
+    int32_t* out_pos /* rebased to lo */)
+{
+    for (int64_t r = 0; r < nb; r++) {
+        int64_t w = out_off[r];
+        for (int64_t i = offsets[r]; i < offsets[r + 1]; i++) {
+            uint32_t p = positions[i];
+            if (p >= lo && p < hi) out_pos[w++] = (int32_t)(p - lo);
+        }
+    }
+}
+
 }  // extern "C"

@@ -154,3 +154,21 @@ def test_shard_count_invariance(setup):
     for o in outs[1:]:
         for a, b in zip(outs[0], o):
             assert np.array_equal(a, b)
+
+
+def test_shard_csr_native_matches_numpy(setup):
+    """Native CSR shard-slicing == the numpy route, array for array."""
+    from nextgenmap_tpu import native
+
+    assert native.lib() is not None
+    s = setup
+    halo = ShardedIndex.halo_for(CFG, 100, paired=False)
+    a = ShardedIndex.build(s["idx"], s["g"], 3, halo)
+    old = native._LIB, native._TRIED
+    native._LIB, native._TRIED = None, True
+    try:
+        b = ShardedIndex.build(s["idx"], s["g"], 3, halo)
+    finally:
+        native._LIB, native._TRIED = old
+    for f in ("genome", "offsets", "positions", "base", "core_lo", "core_hi"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), f
