@@ -696,13 +696,20 @@ class Mapper:
         from nextgenmap_tpu.parallel.index_shard import ShardedIndex
 
         cfg = self.cfg
-        if not isinstance(self.index, KmerIndex) or self.index.canonical:
+        S = cfg.index_shards
+        if isinstance(self.index, ShardedIndex):
+            sidx = self.index          # prebuilt/memoized by the runner
+            if sidx.n_shards != S:
+                raise ValueError(
+                    f"sharded index has {sidx.n_shards} shards, want {S}"
+                )
+        elif isinstance(self.index, KmerIndex) and not self.index.canonical:
+            halo = ShardedIndex.halo_for(cfg, self.read_len, paired=True)
+            sidx = ShardedIndex.build(self.index, self.genome.codes, S, halo)
+        else:
             raise ValueError(
                 "index sharding requires a host-built non-canonical KmerIndex"
             )
-        S = cfg.index_shards
-        halo = ShardedIndex.halo_for(cfg, self.read_len, paired=True)
-        sidx = ShardedIndex.build(self.index, self.genome.codes, S, halo)
         self._sharded = sidx
         self._canonical = False
         self._packed_offsets = False

@@ -128,6 +128,38 @@ class ShardedIndex:
             h += cfg.max_insert_size
         return h
 
+    # -- memoization (the shard split of a gigabase CSR costs minutes; the
+    # artifact reloads in seconds, like the reference's .ngm files) --
+    SHARDS_VERSION = 1
+
+    @staticmethod
+    def cache_path(fasta_path: str, k: int, skip: int, n_shards: int,
+                   halo: int) -> str:
+        return (f"{fasta_path}.ngmt-shards-{k}-{skip}-s{n_shards}-h{halo}"
+                f".v{ShardedIndex.SHARDS_VERSION}.npz")
+
+    def save(self, path: str, genome_sha1: str) -> None:
+        np.savez(
+            path, genome=self.genome, offsets=self.offsets,
+            positions=self.positions, base=self.base,
+            core_lo=self.core_lo, core_hi=self.core_hi,
+            meta=np.frombuffer(
+                f"{self.n_shards}|{genome_sha1}".encode(), dtype=np.uint8
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str, genome_sha1: str) -> "ShardedIndex | None":
+        with np.load(path) as z:
+            n_shards, sha = bytes(z["meta"]).decode().split("|", 1)
+            if sha != genome_sha1:
+                return None
+            return cls(
+                n_shards=int(n_shards), genome=z["genome"],
+                offsets=z["offsets"], positions=z["positions"],
+                base=z["base"], core_lo=z["core_lo"], core_hi=z["core_hi"],
+            )
+
 
 def _lex_winner(sc, st, gp):
     """Lexicographic argmax over the leading shard axis:

@@ -540,6 +540,32 @@ def run_mapping(
     assert first_file, "no query reads given"
     read_len = cfg.read_len or peek_read_len(first_file)
     log.info("read length (padded): %d", read_len)
+    # sharded index: build-or-load the per-shard artifact here (needs
+    # read_len for the halo; memoized like the reference's .ngm files)
+    if cfg.index_shards > 1 and index is not None and not isinstance(index, tuple):
+        from nextgenmap_tpu.parallel.index_shard import ShardedIndex
+
+        if not isinstance(index, ShardedIndex):
+            halo = ShardedIndex.halo_for(cfg, read_len, paired=True)
+            cache = ShardedIndex.cache_path(
+                ref_path, cfg.kmer, cfg.kmer_skip, cfg.index_shards, halo
+            )
+            sidx = None
+            if os.path.exists(cache):
+                sidx = ShardedIndex.load(cache, genome.sha1())
+                if sidx is not None:
+                    log.info("loaded sharded index from %s", cache)
+            if sidx is None:
+                sidx = ShardedIndex.build(
+                    index, genome.codes, cfg.index_shards, halo
+                )
+                if not cfg.skip_save:
+                    try:
+                        sidx.save(cache, genome.sha1())
+                        log.info("memoized sharded index to %s", cache)
+                    except OSError as e:
+                        log.warning("could not memoize sharded index: %s", e)
+            index = sidx
     # long reads (ref supports ~36-1000 bp): per-read DP state scales
     # L x corridor, so shrink the batch to keep the traceback direction
     # matrix bounded — deterministic from the input, so resume-safe

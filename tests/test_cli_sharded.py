@@ -135,3 +135,25 @@ def test_dist_plus_index_shards(shard_dir, tmp_path):
         assert p.returncode == 0, o
     got = [l for l in out.read_text().splitlines() if not l.startswith("@PG")]
     assert got == base
+
+
+def test_sharded_index_memoization(shard_dir, tmp_path):
+    """The per-shard artifact is memoized and reloaded; output unchanged."""
+    import shutil
+
+    d = tmp_path
+    for f in ("ref.fa", "reads.fq"):
+        shutil.copy(shard_dir / f, d / f)
+    run = lambda out, extra=(): main([
+        "map", "-r", str(d / "ref.fa"), "-q", str(d / "reads.fq"),
+        "-o", str(d / out), "-k", "11", "--batch-size", "32", "--no-progress",
+        "--index-shards", "2", *extra,
+    ])
+    assert run("a.sam") == 0
+    import glob
+
+    caches = glob.glob(str(d / "ref.fa.ngmt-shards-*"))
+    assert len(caches) == 1, caches
+    assert run("b.sam") == 0  # second run loads the artifact
+    strip = lambda p: [l for l in open(d / p) if not l.startswith("@PG")]
+    assert strip("a.sam") == strip("b.sam")
