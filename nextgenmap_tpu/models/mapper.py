@@ -155,8 +155,12 @@ def _candidates(
         # zero-CMR retry (ref:src/CS.cpp CollectResults fallback): a read
         # whose every bucket falls below kmer_min gets a second chance at
         # threshold 1 instead of silently dropping — one masked select, no
-        # second search pass
-        none = ~jnp.any(cand_valid, axis=1)
+        # second search pass.  The gate is the GLOBALIZED best bucket count
+        # (pmax over the ish axis / the sequential loop's best_floor), so
+        # under index sharding every shard takes the same branch — a
+        # local-only gate would let a weak shard's retry candidate win the
+        # merge while the unsharded run never generates it.
+        none = cand.best_score < min_kmer_hits
         cand_valid = jnp.where(none[:, None], cs_score >= 1, cand_valid)
 
     # deterministic candidate order: (strand asc, corridor start asc)
@@ -318,7 +322,11 @@ def _finish(
         & (lengths > 0)
         & (identity >= min_identity)
         & (residues >= min_res_abs)
+        # an op-buffer overflow means the CIGAR is incomplete — never emit
+        # it as an alignment; the count rides the cmr_overflow audit counter
+        & ~ares.trunc
     )
+    overflow = (overflow[0], overflow[1] + jnp.sum(ares.trunc.astype(jnp.int32)))
     s1f = jnp.maximum(1, s1).astype(jnp.float32)
     mapq = jnp.clip(
         jnp.round(60.0 * (s1 - s2).astype(jnp.float32) / s1f), 0, 60

@@ -50,7 +50,9 @@ class Candidates(NamedTuple):
     bucket: jax.Array          # [B, C] int32 diagonal bucket (SENTINEL = none)
     score: jax.Array           # [B, C] int32 pair-merged hit count (0 = none)
     strand: jax.Array          # [B, C] int32 0 fwd / 1 rev
-    best_score: jax.Array      # [B] int32 best bucket score for the read
+    best_score: jax.Array      # [B] int32 best bucket score for the read,
+                               # globalized across index shards (pmax over
+                               # axis_name / max with best_floor) when sharded
     fanout_overflow: jax.Array  # [] int32 — k-mer rows truncated by K
     hit_overflow: jax.Array     # [] int32 — reads truncated by the H cap
     cmr_overflow: jax.Array     # [] int32 — reads with > C surviving CMRs
@@ -251,7 +253,11 @@ def _select_candidates(votes, sensitivity, max_cmrs, axis_name, best_floor=None)
     sel_key = jnp.where(eligible, key, 0)
     top_score, top_idx = jax.lax.top_k(sel_key, C)
     top_vote = jnp.take_along_axis(s, top_idx, axis=1)   # [B, C] small gather
-    return top_vote, top_score, best, cmr_overflow
+    # best_thr (not the local best) is returned so downstream gates — the
+    # --kmer-min zero-CMR retry — see the GLOBAL best under index sharding;
+    # a local-only gate would make output depend on shard count
+    # (DESIGN.md rule 15).  Without axis/floor, best_thr == best.
+    return top_vote, top_score, best_thr, cmr_overflow
 
 
 @partial(

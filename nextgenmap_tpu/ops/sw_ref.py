@@ -72,6 +72,8 @@ class AlignResult(NamedTuple):
     matches: jax.Array   # [B] int32 exact base matches
     mismatches: jax.Array  # [B] int32 aligned-but-different bases
     indels: jax.Array    # [B] int32 total gap length
+    trunc: jax.Array     # [B] bool — op buffer overflowed max_ops; the CIGAR
+                         # is incomplete and the read must not be emitted
 
 
 
@@ -365,7 +367,13 @@ def _backwalk_rows(dirs, best, bi, bo, MO):
             (iota_mo == spos[:, None]) & has_single[:, None],
             single[:, None], ops,
         ).astype(jnp.uint8)
-        c = c + kD + has_single.astype(jnp.int32)
+        # clamp the cursor to the buffer: a walk longer than MO ops
+        # (reachable with interleaved I/D runs under user-set scoring) must
+        # not report n_ops > ops.shape[1] — downstream formatters walk n_ops
+        # entries.  The overflow is flagged per read instead.
+        c_full = c + kD + has_single.astype(jnp.int32)
+        trunc = st["trunc"] | (c_full > MO)
+        c = jnp.minimum(c_full, MO)
 
         # ---- counters ----
         m_hit = (emit_m & (m_bit == 1)) | (trail_m & (t_mbit == 1))
@@ -405,7 +413,7 @@ def _backwalk_rows(dirs, best, bi, bo, MO):
             "o": jnp.where(sel, no, o),
             "ph": jnp.where(sel, nph, ph),
             "active": st["active"] & ~dead,
-            "c": c, "ops": ops,
+            "c": c, "ops": ops, "trunc": trunc,
             "matches": matches, "mismatches": mismatches, "indels": indels,
             "qs": qs, "rs": rs,
         }
@@ -415,6 +423,7 @@ def _backwalk_rows(dirs, best, bi, bo, MO):
         "i": bi, "o": bo, "ph": jnp.zeros(B, jnp.int32),
         "active": best > 0,
         "c": jnp.zeros(B, jnp.int32),
+        "trunc": jnp.zeros(B, bool),
         "ops": jnp.full((B, MO), OP_NONE, jnp.uint8),
         "matches": jnp.zeros(B, jnp.int32),
         "mismatches": jnp.zeros(B, jnp.int32),
@@ -428,4 +437,5 @@ def _backwalk_rows(dirs, best, bi, bo, MO):
         r_start=st["rs"], r_end=bi + bo,
         ops=st["ops"], n_ops=st["c"],
         matches=st["matches"], mismatches=st["mismatches"], indels=st["indels"],
+        trunc=st["trunc"],
     )

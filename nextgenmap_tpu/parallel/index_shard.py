@@ -59,6 +59,7 @@ class ShardedIndex:
     base: np.ndarray        # [S] uint32 global position of slice start
     core_lo: np.ndarray     # [S] uint32 ownership range
     core_hi: np.ndarray     # [S] uint32  (genome must be < 2^32 bases)
+    max_freq: int = 0       # repeat-mask cap baked into the shard CSRs
 
     @classmethod
     def build(
@@ -119,6 +120,7 @@ class ShardedIndex:
             base=np.asarray(bases, np.uint32),
             core_lo=np.asarray(clo, np.uint32),
             core_hi=np.asarray(chi, np.uint32),
+            max_freq=index.max_freq,
         )
 
     @staticmethod
@@ -134,9 +136,12 @@ class ShardedIndex:
 
     @staticmethod
     def cache_path(fasta_path: str, k: int, skip: int, n_shards: int,
-                   halo: int) -> str:
+                   halo: int, max_freq: int) -> str:
+        # every parameter that changes the shard CSR bytes must key the
+        # artifact: max_freq bakes repeat masking into the tables, so a
+        # stale cache would silently map with the wrong masking
         return (f"{fasta_path}.ngmt-shards-{k}-{skip}-s{n_shards}-h{halo}"
-                f".v{ShardedIndex.SHARDS_VERSION}.npz")
+                f"-f{max_freq}.v{ShardedIndex.SHARDS_VERSION}.npz")
 
     def save(self, path: str, genome_sha1: str) -> None:
         np.savez(
@@ -144,20 +149,28 @@ class ShardedIndex:
             positions=self.positions, base=self.base,
             core_lo=self.core_lo, core_hi=self.core_hi,
             meta=np.frombuffer(
-                f"{self.n_shards}|{genome_sha1}".encode(), dtype=np.uint8
+                f"{self.n_shards}|{self.max_freq}|{genome_sha1}".encode(),
+                dtype=np.uint8,
             ),
         )
 
     @classmethod
-    def load(cls, path: str, genome_sha1: str) -> "ShardedIndex | None":
+    def load(cls, path: str, genome_sha1: str,
+             max_freq: int | None = None) -> "ShardedIndex | None":
         with np.load(path) as z:
-            n_shards, sha = bytes(z["meta"]).decode().split("|", 1)
+            meta = bytes(z["meta"]).decode().split("|", 2)
+            if len(meta) != 3:      # pre-max_freq artifact: treat as stale
+                return None
+            n_shards, mf, sha = meta
             if sha != genome_sha1:
+                return None
+            if max_freq is not None and int(mf) != max_freq:
                 return None
             return cls(
                 n_shards=int(n_shards), genome=z["genome"],
                 offsets=z["offsets"], positions=z["positions"],
                 base=z["base"], core_lo=z["core_lo"], core_hi=z["core_hi"],
+                max_freq=int(mf),
             )
 
 

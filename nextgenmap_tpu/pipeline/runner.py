@@ -419,7 +419,13 @@ class _Emitter:
                 fn(args)
             except BaseException as e:  # surfaced on the next submit/close
                 self.err = e
-                return
+                # keep draining so producers blocked in q.put() (bounded
+                # queue) can't deadlock against a dead worker; close()'s
+                # None sentinel ends the drain
+                while True:
+                    item = self.q.get()
+                    if item is None:
+                        return
 
     def submit(self, fn, args) -> None:
         if self.async_:
@@ -548,11 +554,13 @@ def run_mapping(
         if not isinstance(index, ShardedIndex):
             halo = ShardedIndex.halo_for(cfg, read_len, paired=True)
             cache = ShardedIndex.cache_path(
-                ref_path, cfg.kmer, cfg.kmer_skip, cfg.index_shards, halo
+                ref_path, cfg.kmer, cfg.kmer_skip, cfg.index_shards, halo,
+                cfg.max_kmer_freq,
             )
             sidx = None
             if os.path.exists(cache):
-                sidx = ShardedIndex.load(cache, genome.sha1())
+                sidx = ShardedIndex.load(cache, genome.sha1(),
+                                         max_freq=cfg.max_kmer_freq)
                 if sidx is not None:
                     log.info("loaded sharded index from %s", cache)
             if sidx is None:

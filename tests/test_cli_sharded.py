@@ -95,6 +95,19 @@ def test_paired_shards_identical(shard_dir):
     assert base == mesh
 
 
+def test_kmer_min_shard_invariant(shard_dir):
+    """--kmer-min's zero-CMR retry must gate on the CROSS-shard best bucket
+    count (ADVICE round-2): a shard-local retry could emit candidates the
+    unsharded run never generates."""
+    base = run_map(shard_dir, "km_base.sam", ("--kmer-min", "3"))
+    seq = run_map(shard_dir, "km_seq.sam", ("--kmer-min", "3",
+                                            "--index-shards", "3"))
+    assert base == seq
+    mesh = run_map(shard_dir, "km_mesh.sam",
+                   ("--kmer-min", "3", "--index-shards", "2", "--devices", "4"))
+    assert base == mesh
+
+
 def test_rejected_combos(shard_dir):
     from nextgenmap_tpu.config import NgmConfig
 
@@ -157,3 +170,8 @@ def test_sharded_index_memoization(shard_dir, tmp_path):
     assert run("b.sam") == 0  # second run loads the artifact
     strip = lambda p: [l for l in open(d / p) if not l.startswith("@PG")]
     assert strip("a.sam") == strip("b.sam")
+    # a different repeat-mask cap changes the shard CSR bytes — it must NOT
+    # reuse the artifact (ADVICE round-2: stale-masking bug)
+    assert run("c.sam", ("--max-freq", "7")) == 0
+    caches = glob.glob(str(d / "ref.fa.ngmt-shards-*"))
+    assert len(caches) == 2, caches

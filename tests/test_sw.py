@@ -163,6 +163,29 @@ def test_align_batch_consistency():
         assert batched.ops[b, :nb].tolist() == single.ops[0, :ns].tolist()
 
 
+def test_backwalk_op_buffer_clamp():
+    """A walk longer than max_ops must clamp n_ops to the buffer and raise
+    the trunc flag (ADVICE round-2: unclamped cursor let downstream
+    formatters read past the ops row)."""
+    rng = np.random.default_rng(6)
+    L, W = 40, 16
+    ref = rng.integers(0, 4, L + W).astype(np.uint8)
+    q = ref[4 : 4 + L].copy()
+    full = banded_sw_align(
+        jnp.asarray(q)[None], jnp.asarray([L], jnp.int32), jnp.asarray(ref)[None],
+        jnp.asarray(MAT), jnp.int32(20), jnp.int32(20), jnp.int32(20), band=W,
+    )
+    n_full = int(full.n_ops[0])
+    assert n_full > 4 and not bool(full.trunc[0])
+    cut = banded_sw_align(
+        jnp.asarray(q)[None], jnp.asarray([L], jnp.int32), jnp.asarray(ref)[None],
+        jnp.asarray(MAT), jnp.int32(20), jnp.int32(20), jnp.int32(20), band=W,
+        max_ops=4,
+    )
+    assert int(cut.n_ops[0]) <= 4          # never exceeds the buffer
+    assert bool(cut.trunc[0])              # and the overflow is flagged
+
+
 def test_cigar_string_helper():
     from tests.oracle_sw import OP_D, OP_I, OP_M
 
