@@ -144,9 +144,101 @@ def _slot_owners_sorted(cum, o0, payload, H):
     return qid, pidx, pay_at
 
 
+def _slot_owners_scatter(cum, o0, payload, H, cnt):
+    """Slot ownership via equality-scatter + forward-fill.
+
+    The dense variant resolves ownership with ~5 fused [B, H, Qt] passes
+    (a >=-compare sum for qid, then one-hot masked sums for cum/o0/payload).
+    Here each REAL k-mer (cnt > 0) *writes* its packed record at its starting
+    slot cum[q] — an == one-hot reduced over q, exactly TWO [B, Qt, H]
+    passes — and a single [B, H] forward-fill scan propagates the record
+    across the k-mer's run of slots.  Writers have strictly increasing cum,
+    so at most one k-mer writes per slot, and the fill carries (qid, flip,
+    o0-cum) together.  Layout matters as much as the pass count: the [B,Qt,H]
+    tensors reduce over the MIDDLE axis with H minor, so the VPU accumulates
+    whole 128-lane rows, where the dense variant reduces over its minor axis
+    (a cross-lane reduction per output element).
+    """
+    B, Qt = cum.shape
+    harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Qt), 1)
+    # +1 so 0 means "no writer"; payload (flip bit) rides the LSB
+    qp = q_iota * 2 + (payload if payload is not None else 0) + 1
+    delta = o0 - cum                       # pidx = delta + h within the run
+    cumw = jnp.where(cnt > 0, cum, -1)     # non-writers never match a slot
+    eq = cumw[:, :, None] == harange[:, None, :]          # [B, Qt, H]
+    scat_q = jnp.sum(jnp.where(eq, qp[:, :, None], 0), axis=1)     # [B, H]
+    scat_d = jnp.sum(jnp.where(eq, delta[:, :, None], 0), axis=1)
+
+    def fill(a, b):  # forward-fill: last writer at or before this slot wins
+        take_b = b[0] > 0
+        return (jnp.where(take_b, b[0], a[0]), jnp.where(take_b, b[1], a[1]))
+
+    fq, fd = jax.lax.associative_scan(fill, (scat_q, scat_d), axis=1)
+    qid = (fq - 1) >> 1
+    pay_at = ((fq - 1) & 1) if payload is not None else None
+    pidx = fd + harange
+    return qid, pidx, pay_at
+
+
+def _slot_owners_bisect(cum, o0, payload, H):
+    """Slot ownership via batched binary search — the round-3 default.
+
+    The key structural fact every O(H·Qt) variant above ignores: `cum` is
+    NONDECREASING along Qt (it is a prefix sum).  "The last k-mer q with
+    cum[q] <= h" is therefore searchsorted(cum, h, side=right)-1 — computed
+    for all [B, H] slots with ceil(log2(Qt)) rounds of FLAT element gathers
+    (~35 us per 1M elements on v5e, BASELINE.md round-2 correction) instead
+    of dense/scatter compare-reductions over [B, H, Qt] (the measured CS
+    wall: 28.8 of 47.2 ms at config-2 shapes) or the two [B, Qt+H] sorts of
+    the rank-merge.  Exactly dense semantics, including cnt==0 ties (the
+    last tied q wins both there and under side=right).  Scales to gigabase
+    hit caps: O(H log Qt) with no dense tensor at any H.
+    """
+    import math
+
+    B, Qt = cum.shape
+    harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    rowoff = jax.lax.broadcasted_iota(jnp.int32, (B, H), 0) * Qt
+    flat_cum = cum.reshape(-1)
+    lo = jnp.zeros((B, H), jnp.int32)   # invariant: cum[lo] <= h (cum[0]=0)
+    hi = jnp.full((B, H), Qt - 1, jnp.int32)
+    for _ in range(max(1, math.ceil(math.log2(max(2, Qt))))):
+        mid = (lo + hi + 1) >> 1
+        v = flat_cum[(rowoff + mid).reshape(-1)].reshape(B, H)
+        ok = v <= harange
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+    qid = lo
+    fq = (rowoff + qid).reshape(-1)
+    delta = (o0 - cum).reshape(-1)
+    pidx = delta[fq].reshape(B, H) + harange
+    pay_at = (
+        payload.reshape(-1)[fq].reshape(B, H) if payload is not None else None
+    )
+    return qid, pidx, pay_at
+
+
 # above this hit cap the dense [B, H, Qt] ownership tensors cost more HBM
-# traffic than the sort-based rank-merge
+# traffic than the sort-based rank-merge (legacy crossover, pre-bisect)
 _DENSE_H_MAX = 256
+# ownership strategy: "auto" = bisect; "dense"/"sorted"/"scatter" force a
+# legacy variant (A/B probes + test oracles).  Read at trace time: set the
+# env (or monkeypatch) BEFORE the first jit call.
+import os as _os
+
+_OWNERS_MODE = _os.environ.get("NGM_OWNERS", "auto")
+
+
+def _slot_owners(cum, o0, payload, H, cnt):
+    mode = _OWNERS_MODE
+    if mode in ("auto", "bisect"):
+        return _slot_owners_bisect(cum, o0, payload, H)
+    if mode == "scatter":
+        return _slot_owners_scatter(cum, o0, payload, H, cnt)
+    if mode == "dense":
+        return _slot_owners_dense(cum, o0, payload, H)
+    return _slot_owners_sorted(cum, o0, payload, H)
 
 
 def _compact_hits(
@@ -193,8 +285,7 @@ def _compact_hits(
     hit_overflow = jnp.sum((total > H).astype(jnp.int32))
 
     # slot h belongs to the last kmer q with cum[q] <= h
-    owners = _slot_owners_dense if H <= _DENSE_H_MAX else _slot_owners_sorted
-    qid, pidx, pay_at = owners(cum, o0, payload, H)
+    qid, pidx, pay_at = _slot_owners(cum, o0, payload, H, cnt_c)
     harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
     valid = harange < jnp.minimum(total, H)[:, None]
     pos = positions[jnp.where(valid, pidx, 0)]           # [B, H] — the ONE gather

@@ -173,12 +173,13 @@ def test_packed_offsets_identical():
     assert int(a.hit_overflow) == int(b.hit_overflow)
 
 
-def test_slot_owners_sorted_equals_dense():
-    """Rank-merge slot ownership == dense compare-sum ownership, exactly."""
+def test_slot_owners_variants_agree():
+    """Rank-merge and scatter-fill ownership == dense compare-sum, exactly."""
     import numpy as np
 
     from nextgenmap_tpu.ops.candidate import (
-        _slot_owners_dense, _slot_owners_sorted,
+        _slot_owners_bisect, _slot_owners_dense, _slot_owners_scatter,
+        _slot_owners_sorted,
     )
 
     rng = np.random.default_rng(71)
@@ -191,12 +192,24 @@ def test_slot_owners_sorted_equals_dense():
         flip = rng.integers(0, 2, size=(B, Qt)).astype(np.int32)
         cum = np.cumsum(cnt, axis=1) - cnt
         qd, pd, fd = _slot_owners_dense(cum, o0, flip, H)
-        qs, ps, fs = _slot_owners_sorted(cum, o0, flip, H)
         total = cum[:, -1] + cnt[:, -1]
         valid = np.arange(H)[None, :] < np.minimum(total, H)[:, None]
+        for other in (_slot_owners_sorted, _slot_owners_scatter,
+                      _slot_owners_bisect):
+            if other is _slot_owners_scatter:
+                qs, ps, fs = other(cum, o0, flip, H, cnt)
+            else:
+                qs, ps, fs = other(cum, o0, flip, H)
+            assert (np.asarray(qd)[valid] == np.asarray(qs)[valid]).all(), trial
+            assert (np.asarray(pd)[valid] == np.asarray(ps)[valid]).all(), trial
+            assert (np.asarray(fd)[valid] == np.asarray(fs)[valid]).all(), trial
+
+        # no-payload shape (dual-strand path)
+        qd, pd, _ = _slot_owners_dense(cum, o0, None, H)
+        qs, ps, ns = _slot_owners_scatter(cum, o0, None, H, cnt)
+        assert ns is None
         assert (np.asarray(qd)[valid] == np.asarray(qs)[valid]).all(), trial
         assert (np.asarray(pd)[valid] == np.asarray(ps)[valid]).all(), trial
-        assert (np.asarray(fd)[valid] == np.asarray(fs)[valid]).all(), trial
 
 
 def test_compact_hits_sorted_path_end_to_end():
