@@ -58,18 +58,12 @@ def _emit_paired_native(
     q_start = np.asarray(res.q_start)[:n]
     q_end = np.asarray(res.q_end)[:n]
     matches = np.asarray(res.matches)[:n]
-    proper = np.asarray(res.proper)[:n].astype(bool)
     t1 = time.perf_counter()
     stats.add_time("fetch", t1 - t0)
     stats.kmer_fanout_overflow += int(res.fanout_overflow)
     stats.cmr_overflow += int(res.cmr_overflow)
 
     mate = np.arange(n) ^ 1
-    pair_proper = proper & proper[mate] & mapped & mapped[mate]
-    stats.pairs_proper += int(pair_proper[0::2].sum())
-    stats.pairs_broken += int(
-        ((mapped | mapped[mate]) & ~pair_proper)[0::2].sum()
-    )
     stats.reads_in += n
     n_mapped = int(mapped.sum())
     stats.reads_mapped += n_mapped
@@ -94,6 +88,32 @@ def _emit_paired_native(
     m_span = span[mate]
     first = np.arange(n) % 2 == 0
 
+    # EXACT pair propriety from final (post-traceback) coordinates — the
+    # device's selection-time geometry is approximate (candidate positions
+    # are diagonal-bucket estimates), so the flag is recomputed here with no
+    # margin band, like the reference's exact insert arithmetic on scored
+    # candidates (ref:src/ScoreBuffer.cpp): both mates mapped on the same
+    # chromosome, FR orientation (strands differ, forward mate leftmost),
+    # outer span within [-I, -X].
+    both_same = mapped & m_mapped & (ci == m_ci)
+    left = np.minimum(cp, m_cp)
+    right = np.maximum(cp + span, m_cp + m_span)
+    t = right - left
+    fwd_pos = np.where(strand == 0, cp, m_cp)
+    rev_pos = np.where(strand == 0, m_cp, cp)
+    cfg = writer.cfg
+    pair_proper = (
+        both_same
+        & (strand != m_strand)
+        & (fwd_pos <= rev_pos)
+        & (t >= cfg.min_insert_size)
+        & (t <= cfg.max_insert_size)
+    )
+    stats.pairs_proper += int(pair_proper[0::2].sum())
+    stats.pairs_broken += int(
+        ((mapped | m_mapped) & ~pair_proper)[0::2].sum()
+    )
+
     flag = (
         FLAG_PAIRED
         + np.where(first, FLAG_FIRST, FLAG_SECOND)
@@ -115,10 +135,6 @@ def _emit_paired_native(
         m_mapped & mapped & (m_ci != ci), m_ci, np.where(m_mapped, EQ, STAR)
     )
     pnext = np.where(m_mapped, m_cp + 1, 0)
-    both_same = mapped & m_mapped & (ci == m_ci)
-    left = np.minimum(cp, m_cp)
-    right = np.maximum(cp + span, m_cp + m_span)
-    t = right - left
     tlen = np.where(
         both_same, np.where((cp < m_cp) | ((cp == m_cp) & first), t, -t), 0
     )
@@ -189,19 +205,32 @@ def emit_paired(
     stats.cmr_overflow += int(res.cmr_overflow)
 
     genome = writer.genome
+    cfg = writer.cfg
     for p in range(batch.n // 2):
         i, j = 2 * p, 2 * p + 1
-        pair_proper = bool(proper[i] and proper[j] and mapped[i] and mapped[j])
-        if pair_proper:
-            stats.pairs_proper += 1
-        elif mapped[i] or mapped[j]:
-            stats.pairs_broken += 1
         # pre-compute chrom + span for TLEN
         info = {}
         for m in (i, j):
             if mapped[m]:
                 ci, cp = genome.abs_to_chrom(int(pos[m]))
                 info[m] = (int(ci), int(cp), _ref_span(ops[m], int(n_ops[m])))
+        # exact propriety from final coordinates (matches the native path;
+        # ref:src/ScoreBuffer.cpp exact insert arithmetic)
+        pair_proper = False
+        if mapped[i] and mapped[j] and strand[i] != strand[j]:
+            ci_i, cp_i, sp_i = info[i]
+            ci_j, cp_j, sp_j = info[j]
+            if ci_i == ci_j:
+                t = max(cp_i + sp_i, cp_j + sp_j) - min(cp_i, cp_j)
+                fwd, rev = (cp_i, cp_j) if strand[i] == 0 else (cp_j, cp_i)
+                pair_proper = bool(
+                    fwd <= rev
+                    and cfg.min_insert_size <= t <= cfg.max_insert_size
+                )
+        if pair_proper:
+            stats.pairs_proper += 1
+        elif mapped[i] or mapped[j]:
+            stats.pairs_broken += 1
         for m, o, first in ((i, j, True), (j, i, False)):
             stats.reads_in += 1
             L = int(batch.lengths[m])

