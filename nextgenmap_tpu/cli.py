@@ -142,6 +142,14 @@ def build_parser():
     idx_p.add_argument("--kmer-skip", type=int, default=D.kmer_skip)
     idx_p.add_argument("--max-freq", type=int, default=D.max_kmer_freq)
     idx_p.add_argument("--bs-mapping", action="store_true")
+    idx_p.add_argument("--index-shards", type=int, default=D.index_shards,
+                       help="also pre-build the .ngmt-shards artifact so a "
+                            "later `map --index-shards N` does zero index "
+                            "work (gigabase split costs minutes)")
+    idx_p.add_argument("-X", "--max-insert-size", type=int,
+                       default=D.max_insert_size,
+                       help="keys the shard halo; use the same value at map "
+                            "time to reuse the artifact")
     return p, map_p
 
 
@@ -197,14 +205,29 @@ def main(argv: list[str] | None = None) -> int:
 
         genome = Genome.open(a.reference)
         modes = ("ct", "ga") if a.bs_mapping else ("none",)
-        for collapse in modes:
+        sharded = a.index_shards > 1
+        built = [
             KmerIndex.open(
                 a.reference, genome.codes, genome.sha1(),
                 k=a.kmer, skip=a.kmer_skip, max_freq=a.max_freq,
                 collapse=collapse,
-                canonical=(collapse == "none"
+                # position-range sharding slices RAW positions; the
+                # unsharded fast path wants the canonical index
+                canonical=(collapse == "none" and not sharded
                            and genome.codes.shape[0] < 2**30),
             )
+            for collapse in modes
+        ]
+        if sharded:
+            from nextgenmap_tpu.parallel.index_shard import open_sharded
+
+            cfg = NgmConfig(
+                kmer=a.kmer, kmer_skip=a.kmer_skip, max_kmer_freq=a.max_freq,
+                bs_mapping=a.bs_mapping, index_shards=a.index_shards,
+                max_insert_size=a.max_insert_size,
+            )
+            open_sharded(cfg, a.reference, genome,
+                         tuple(built) if a.bs_mapping else built[0])
         return 0
 
     if not (a.qry or a.qry1):

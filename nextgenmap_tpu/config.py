@@ -197,7 +197,11 @@ class NgmConfig:
             raise ValueError("need dist_nprocs >= 1 and 0 <= dist_procid < nprocs")
         if self.index_shards < 1:
             raise ValueError("index_shards must be >= 1")
-        if self.index_shards > 1 and self.bs_mapping:
-            raise ValueError("--index-shards with --bs-mapping not supported yet")
-        if self.index_shards > 1 and self.topn > 1:
-            raise ValueError("--index-shards with -n/--topn > 1 not supported yet")
+        if self.index_shards > 1 and self.topn > 1 and self.devices > 1:
+            # the sequential one-chip shard loop merges per-shard rank lists
+            # (merge_sharded_topn); the (dp, ish) mesh step only computes the
+            # single-best merge, so the combination of all three is rejected
+            raise ValueError(
+                "--index-shards with -n/--topn > 1 runs on a single device "
+                "(sequential shard loop); drop --devices"
+            )

@@ -94,7 +94,8 @@ def _candidates(
     Candidate arrays are REORDERED by (strand asc, corridor start asc) so
     later argmax/top_k selections tie-break per DESIGN.md rule 11; valid
     candidates form a per-read PREFIX after the ordering.  Returns
-    (corr_start [B,C], strand [B,C], cand_valid [B,C], n_cands [B],
+    (corr_start [B,C], strand [B,C], cand_valid [B,C], cs_score [B,C] the
+    bucket hit counts (0 where below the local threshold), n_cands [B],
     rc [B,L] the left-shifted reverse-complement batch, best [B] best
     bucket hit count, overflow pair).  best_floor (optional [B]) raises the
     adaptive threshold to a cross-shard best computed outside (the
@@ -175,6 +176,7 @@ def _candidates(
     order = jnp.argsort(order_key, axis=1)
     corr_start = permute_small(corr_start, order)
     strand = permute_small(strand, order)
+    cs_score = permute_small(cs_score, order)
     cand_valid = permute_small(cand_valid.astype(jnp.int32), order) == 1
 
     n_cands = jnp.sum(cand_valid.astype(jnp.int32), axis=1)   # [B]
@@ -182,7 +184,8 @@ def _candidates(
         cand.fanout_overflow + cand.hit_overflow,
         cand.cmr_overflow,
     )
-    return corr_start, strand, cand_valid, n_cands, rc, cand.best_score, overflow
+    return (corr_start, strand, cand_valid, cs_score, n_cands, rc,
+            cand.best_score, overflow)
 
 
 def _score_candidates(
@@ -362,34 +365,14 @@ _STATICS = (
 )
 
 
-@partial(jax.jit, static_argnames=_STATICS)
-def map_step(
-    genome, offsets, positions, reads, lengths, matrices,
-    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
-    best_floor=None,
-    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False,
-    canonical=False, cs_axis=None,
-) -> MapResult:
-    """Single-end mapping step (DESIGN.md rule 11 selection).
-
-    Lazy scoring: only reads with >= 2 candidates go through the score pass
-    (their [B, C] grid rows feed the argmax); a single-candidate read's
-    winner is its candidate 0 and its score comes from the traceback DP.
-    """
+def _single_tail(
+    genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+    min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
+    overflow, *, band, slot_cap, sw_backend, end_to_end,
+):
+    """Everything after candidate search for the single-end step: lazy
+    scoring, rule-11 argmax selection, traceback + filters."""
     B = reads.shape[0]
-    # lazy scoring rarely needs many slots (most reads have 1 candidate);
-    # overflow is counted, so a repeat-dense genome is visible, not silent
-    slot_cap = slot_cap or max(512, B // 2)
-    corr_start, strand, cand_valid, n_cands, rc, _, overflow = _candidates(
-        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
-        best_floor,
-        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
-        packed_offsets=packed_offsets, canonical=canonical,
-    )
     sw, slot_ovf = _score_candidates(
         genome, reads, rc, lengths, corr_start, strand, cand_valid,
         n_cands >= 2, matrices, gopen_q, gopen_r, gext,
@@ -408,122 +391,18 @@ def map_step(
     )
 
 
-@partial(jax.jit, static_argnames=_STATICS)
-def cs_best_step(
-    genome, offsets, positions, reads, lengths, sensitivity, max_freq,
-    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False,
-    canonical=False, cs_axis=None,
-) -> jax.Array:
-    """Candidate-search-only pass returning the per-read best bucket count.
-
-    Phase 1 of the SEQUENTIAL index-shard loop (one chip, S > devices): the
-    adaptive CMR threshold must be relative to the best bucket count across
-    ALL shards (DESIGN.md rule 15) — on a mesh that's a pmax over "ish"; here
-    the host maxes these per-shard bests and feeds the result back into
-    phase 2's map_step as `best_floor`.  XLA dead-code-eliminates the
-    selection/ordering work, leaving just lookup + compaction + vote count.
-    """
-    *_, best, _ = _candidates(
-        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
-        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
-        packed_offsets=packed_offsets, canonical=canonical,
-    )
-    return best
-
-
-@partial(jax.jit, static_argnames=_STATICS + ("topn",))
-def map_step_topn(
-    genome, offsets, positions, reads, lengths, matrices,
-    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
-    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2,
-    canonical=False, cs_axis=None,
-) -> tuple:
-    """Single-end mapping with up to `topn` alignments per read (ref -n).
-
-    Returns a tuple of `topn` MapResults ordered score DESC (DESIGN.md rule
-    11 tie-breaking); entry j is valid for a read where its score > 0.  The
-    host emitter applies --strata (keep only the top-score stratum) and
-    near-duplicate suppression, and marks entries 1.. as SAM secondary.
-    Ranking needs every candidate's score, so scoring is eager here.
-    """
-    B = reads.shape[0]
-    slot_cap = slot_cap or 2 * B
-    corr_start, strand, cand_valid, n_cands, rc, _, overflow = _candidates(
-        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
-        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
-        packed_offsets=packed_offsets, canonical=canonical,
-    )
-    sw, slot_ovf = _score_candidates(
-        genome, reads, rc, lengths, corr_start, strand, cand_valid,
-        jnp.ones(B, dtype=bool), matrices, gopen_q, gopen_r, gext,
-        band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end,
-    )
-    overflow = (overflow[0], overflow[1] + slot_ovf)
-    proper = jnp.zeros(B, dtype=bool)
-    _, top_idx = jax.lax.top_k(sw, topn)   # stable: rule 11 order
-    # entries past a read's candidate list land on zero-score grid cells;
-    # gate them out (via a score-positive validity grid) so they cannot
-    # alias candidate 0
-    results = []
-    for j in range(topn):
-        cv = cand_valid & (sw > 0) if j > 0 else cand_valid
-        results.append(_finish(
-            top_idx[:, j], sw, corr_start, strand, cv, genome, reads, rc,
-            lengths, matrices, gopen_q, gopen_r, gext, min_identity,
-            min_residues, n_cands, overflow, proper,
-            band=band, end_to_end=end_to_end,
-        ))
-    return tuple(results)
-
-
-@partial(jax.jit, static_argnames=_STATICS)
-def map_step_paired(
-    genome, offsets, positions, reads, lengths, matrices,
-    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
-    min_insert, max_insert, pair_cutoff, best_floor=None,
-    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
-    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False,
-    canonical=False, cs_axis=None,
-) -> MapResult:
-    """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
-
-    Pair resolution is a CxC combined-score argmax per pair over an
-    FR-orientation + insert-window validity mask, computed from candidate
-    corridor positions (like the reference, pairing happens on scores before
-    traceback).  Falls back to best singletons when no pair clears
-    pair_cutoff * (best1 + best2) — the "broken pair" path.
-
-    Lazy scoring: a pair where BOTH mates have exactly one candidate has
-    nothing to compare — its only combination is (0, 0), whose propriety is
-    pure geometry (orientation + insert window) and whose scores come from
-    the traceback DP.
-    """
-    B = reads.shape[0]
-    # lazy scoring rarely needs many slots (most reads have 1 candidate);
-    # overflow is counted, so a repeat-dense genome is visible, not silent
-    slot_cap = slot_cap or max(512, B // 2)
-    corr_start, strand, cand_valid, n_cands, rc, _, overflow = _candidates(
-        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
-        best_floor,
-        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
-        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
-        packed_offsets=packed_offsets, canonical=canonical,
-    )
+def _paired_tail(
+    genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+    min_identity, min_residues, min_insert, max_insert, pair_cutoff,
+    corr_start, strand, cand_valid, n_cands, overflow,
+    *, band, slot_cap, diag_bin_log2, sw_backend, end_to_end,
+):
+    """Everything after candidate search for the paired step: lazy scoring,
+    CxC insert-window pair resolution, traceback + filters."""
+    B, L = reads.shape
     C = corr_start.shape[1]
     P = B // 2
     bin_w = 1 << diag_bin_log2
-    L = reads.shape[1]
 
     np_ = n_cands.reshape(P, 2)
     pair_multi = (np_[:, 0] >= 2) | (np_[:, 1] >= 2)
@@ -588,6 +467,442 @@ def map_step_paired(
         a1, sw, corr_start, strand, cand_valid, genome, reads, rc, lengths,
         matrices, gopen_q, gopen_r, gext, min_identity, min_residues,
         n_cands, overflow, proper, band=band, end_to_end=end_to_end,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def map_step(
+    genome, offsets, positions, reads, lengths, matrices,
+    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
+    best_floor=None,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
+) -> MapResult:
+    """Single-end mapping step (DESIGN.md rule 11 selection).
+
+    Lazy scoring: only reads with >= 2 candidates go through the score pass
+    (their [B, C] grid rows feed the argmax); a single-candidate read's
+    winner is its candidate 0 and its score comes from the traceback DP.
+    """
+    B = reads.shape[0]
+    # lazy scoring rarely needs many slots (most reads have 1 candidate);
+    # overflow is counted, so a repeat-dense genome is visible, not silent
+    slot_cap = slot_cap or max(512, B // 2)
+    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        best_floor,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets, canonical=canonical,
+    )
+    return _single_tail(
+        genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+        min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
+        overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def cs_best_step(
+    genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
+) -> jax.Array:
+    """Candidate-search-only pass returning the per-read best bucket count.
+
+    Phase 1 of the SEQUENTIAL index-shard loop (one chip, S > devices): the
+    adaptive CMR threshold must be relative to the best bucket count across
+    ALL shards (DESIGN.md rule 15) — on a mesh that's a pmax over "ish"; here
+    the host maxes these per-shard bests and feeds the result back into
+    phase 2's map_step as `best_floor`.  XLA dead-code-eliminates the
+    selection/ordering work, leaving just lookup + compaction + vote count.
+    """
+    *_, best, _ = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets, canonical=canonical,
+    )
+    return best
+
+
+class CandState(NamedTuple):
+    """Per-shard candidate lists from ONE CS pass (sequential shard loop).
+
+    cs_score holds the bucket hit counts of the top-C candidates under the
+    LOCAL adaptive threshold; the cross-shard re-gate (map_step_*_from_cands)
+    re-derives validity from these against the GLOBAL best, which is exact:
+    the global threshold >= the local one, and globally eligible candidates
+    are always the list's top scorers, so they are never clipped by C unless
+    they would also be clipped in a one-shot global-threshold selection.
+    """
+
+    corr_start: jax.Array       # [B, C] int32
+    strand: jax.Array           # [B, C] int32
+    cs_score: jax.Array         # [B, C] int32
+    best: jax.Array             # [B] int32 local best bucket count
+    fanout_overflow: jax.Array  # [] int32
+    cmr_overflow: jax.Array     # [] int32
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def cs_cands_step(
+    genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
+) -> CandState:
+    """Phase 1 of the SINGLE-PASS sequential index-shard loop: the full CS
+    once per shard, keeping the candidate lists for phase 2 instead of
+    re-deriving them (round 2 ran cs_best_step + map_step = TWO full CS
+    passes per shard; CS dominates the sharded step)."""
+    corr_start, strand, _, cs_score, _, _, best, overflow = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets, canonical=canonical,
+    )
+    return CandState(corr_start, strand, cs_score, best,
+                     overflow[0], overflow[1])
+
+
+def _shifted_rc(reads, lengths):
+    """Reverse-complement batch with right-padding shifted off the front."""
+    B, L = reads.shape
+    rc = revcomp_batch(reads)
+    shift = (L - lengths)[:, None]
+    idx = jnp.arange(L)[None, :] + shift
+    return jnp.take_along_axis(
+        jnp.pad(rc, ((0, 0), (0, L)), constant_values=4), idx, axis=1
+    )
+
+
+def _regate_candidates(cand: CandState, best_g, sensitivity, min_kmer_hits):
+    """Re-derive candidate validity against the GLOBAL best bucket count and
+    restore the valid-prefix ordering (identical keys to _candidates)."""
+    thresh = jnp.maximum(
+        1, jnp.ceil(best_g.astype(jnp.float32) * sensitivity)
+    ).astype(jnp.int32)
+    need = max(1, min_kmer_hits)
+    if min_kmer_hits > 1:
+        # zero-CMR retry, gated on the GLOBAL best (DESIGN.md rule 15)
+        need = jnp.where(best_g < min_kmer_hits, 1, need)
+        thresh = jnp.maximum(thresh, need)
+    valid = cand.cs_score >= thresh[:, None]
+    order_key = jnp.where(
+        valid, cand.strand * (2**30) + cand.corr_start, 2**31 - 1
+    )
+    order = jnp.argsort(order_key, axis=1)
+    corr_start = permute_small(cand.corr_start, order)
+    strand = permute_small(cand.strand, order)
+    valid = permute_small(valid.astype(jnp.int32), order) == 1
+    n_cands = jnp.sum(valid.astype(jnp.int32), axis=1)
+    return corr_start, strand, valid, n_cands
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def map_step_from_cands(
+    genome, reads, lengths, matrices, gopen_q, gopen_r, gext,
+    sensitivity, min_identity, min_residues, cand: CandState, best_g,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
+) -> MapResult:
+    """Phase 2 of the single-pass sequential shard loop: score + select +
+    traceback from a shard's phase-1 candidate lists, with validity re-gated
+    by the cross-shard best.  Byte-identical to map_step(best_floor=best_g)
+    by the CandState invariant."""
+    B = reads.shape[0]
+    slot_cap = slot_cap or max(512, B // 2)
+    rc = _shifted_rc(reads, lengths)
+    corr_start, strand, cand_valid, n_cands = _regate_candidates(
+        cand, best_g, sensitivity, min_kmer_hits
+    )
+    overflow = (cand.fanout_overflow, cand.cmr_overflow)
+    return _single_tail(
+        genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+        min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
+        overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def map_step_paired_from_cands(
+    genome, reads, lengths, matrices, gopen_q, gopen_r, gext,
+    sensitivity, min_identity, min_residues,
+    min_insert, max_insert, pair_cutoff, cand: CandState, best_g,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
+) -> MapResult:
+    """Paired phase 2 of the single-pass sequential shard loop."""
+    B = reads.shape[0]
+    slot_cap = slot_cap or max(512, B // 2)
+    rc = _shifted_rc(reads, lengths)
+    corr_start, strand, cand_valid, n_cands = _regate_candidates(
+        cand, best_g, sensitivity, min_kmer_hits
+    )
+    overflow = (cand.fanout_overflow, cand.cmr_overflow)
+    return _paired_tail(
+        genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+        min_identity, min_residues, min_insert, max_insert, pair_cutoff,
+        corr_start, strand, cand_valid, n_cands, overflow,
+        band=band, slot_cap=slot_cap, diag_bin_log2=diag_bin_log2,
+        sw_backend=sw_backend, end_to_end=end_to_end,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATICS + ("topn",))
+def map_step_topn_from_cands(
+    genome, reads, lengths, matrices, gopen_q, gopen_r, gext,
+    sensitivity, min_identity, min_residues, cand: CandState, best_g,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2,
+    canonical=False, cs_axis=None,
+) -> tuple:
+    """Topn phase 2 of the single-pass sequential shard loop (ref -n with
+    --index-shards): each shard traces its local top ranks; the cross-shard
+    rank merge (parallel/index_shard.py::merge_sharded_topn) interleaves the
+    per-shard lists, which is exact because any global top-R entry is within
+    its own shard's top R."""
+    B = reads.shape[0]
+    slot_cap = slot_cap or 2 * B
+    rc = _shifted_rc(reads, lengths)
+    corr_start, strand, cand_valid, n_cands = _regate_candidates(
+        cand, best_g, sensitivity, min_kmer_hits
+    )
+    overflow = (cand.fanout_overflow, cand.cmr_overflow)
+    return _topn_tail(
+        genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+        min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
+        overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end, topn=topn,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATICS + ("topn",))
+def map_step_topn(
+    genome, offsets, positions, reads, lengths, matrices,
+    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2,
+    canonical=False, cs_axis=None,
+) -> tuple:
+    """Single-end mapping with up to `topn` alignments per read (ref -n).
+
+    Returns a tuple of `topn` MapResults ordered score DESC (DESIGN.md rule
+    11 tie-breaking); entry j is valid for a read where its score > 0.  The
+    host emitter applies --strata (keep only the top-score stratum) and
+    near-duplicate suppression, and marks entries 1.. as SAM secondary.
+    Ranking needs every candidate's score, so scoring is eager here.
+    """
+    B = reads.shape[0]
+    slot_cap = slot_cap or 2 * B
+    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets, canonical=canonical,
+    )
+    return _topn_tail(
+        genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+        min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
+        overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end, topn=topn,
+    )
+
+
+def _topn_tail(
+    genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+    min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
+    overflow, *, band, slot_cap, sw_backend, end_to_end, topn,
+):
+    """Everything after candidate search for the topn step: eager scoring,
+    rank selection, ONE compacted traceback for all ranks."""
+    B = reads.shape[0]
+    sw, slot_ovf = _score_candidates(
+        genome, reads, rc, lengths, corr_start, strand, cand_valid,
+        jnp.ones(B, dtype=bool), matrices, gopen_q, gopen_r, gext,
+        band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        end_to_end=end_to_end,
+    )
+    overflow = (overflow[0], overflow[1] + slot_ovf)
+    proper = jnp.zeros(B, dtype=bool)
+    L = reads.shape[1]
+    T = L + band
+    G = genome.shape[0]
+    R = topn
+    _, top_idx = jax.lax.top_k(sw, R)      # stable: rule 11 order
+    # per-rank validity: entries past a read's candidate list land on
+    # zero-score grid cells — gate them so they cannot alias candidate 0.
+    # Validity is a PREFIX along ranks: scores are sorted DESC, and rank 0
+    # of a no-score read falls on candidate 0 (the valid-prefix ordering)
+    tv = jnp.take_along_axis(cand_valid, top_idx, axis=1)        # [B, R]
+    ts = jnp.take_along_axis(sw, top_idx, axis=1)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+    rvalid = tv & ((jr == 0) | (ts > 0))                         # [B, R]
+    t_start = jnp.take_along_axis(corr_start, top_idx, axis=1)
+    t_strand = jnp.take_along_axis(strand, top_idx, axis=1)
+
+    # ONE traceback DP for all ranks (VERDICT r2 directive 7): compact the
+    # valid (read, rank) pairs into slots — most reads have a single
+    # candidate, so the slot count ~B real rows instead of R full [B] DP
+    # passes over mostly-invalid winners
+    S2 = slot_cap
+    n_r = jnp.sum(rvalid.astype(jnp.int32), axis=1)              # [B]
+    base = jnp.cumsum(n_r) - n_r
+    total = base[-1] + n_r[-1]
+    slot2_ovf = (total > S2).astype(jnp.int32)
+    sar = jax.lax.broadcasted_iota(jnp.int32, (S2, 1), 0)[:, 0]
+    ge = sar[:, None] >= base[None, :]
+    b_of = jnp.sum(ge.astype(jnp.int32), axis=1) - 1             # [S2]
+    slot_valid = sar < jnp.minimum(total, S2)
+    onehot_b = jax.lax.broadcasted_iota(jnp.int32, (S2, B), 1) == b_of[:, None]
+    base_at = jnp.sum(jnp.where(onehot_b, base[None, :], 0), axis=1)
+    j_of = sar - base_at                       # = the rank (prefix validity)
+    b_safe = jnp.where(slot_valid, b_of, 0)
+    flat_bj = jnp.where(slot_valid, b_of * R + j_of, 0)
+
+    start_s = t_start.reshape(-1)[flat_bj]
+    strand_s = t_strand.reshape(-1)[flat_bj]
+    len_s = lengths[b_safe]
+    starts = jnp.clip(jnp.where(slot_valid, start_s, 0), 0, max(0, G - T))
+    if _use_dma(T):
+        corr_s = dma_gather_windows(as_dma_table(genome), starts, T)
+    else:
+        corr_s = gather_windows(pad_table(genome, T, 4), starts, T)
+    corr_s = jnp.where(slot_valid[:, None], corr_s, 4)
+    q2 = jnp.concatenate([reads, rc], axis=0)
+    q_s = take_rows_mxu(q2, strand_s * B + b_safe)
+    ares = banded_sw_align(
+        q_s, len_s, corr_s, matrices, gopen_q, gopen_r, gext, strand_s,
+        band=band, mode="glocal" if end_to_end else "local",
+    )
+    overflow = (
+        overflow[0],
+        overflow[1] + slot2_ovf
+        + jnp.sum(jnp.where(slot_valid, ares.trunc.astype(jnp.int32), 0)),
+    )
+
+    # scatter every align field back to the [B, R] rank grid
+    scat_idx = jnp.where(slot_valid, flat_bj, B * R)
+
+    def scat(x, dtype=None):
+        flat = jnp.zeros((B * R + 1,) + x.shape[1:],
+                         dtype or x.dtype).at[scat_idx].set(x)
+        return flat[: B * R].reshape((B, R) + x.shape[1:])
+
+    g_score = scat(jnp.where(slot_valid, ares.score, 0))
+    g_qs = scat(ares.q_start)
+    g_qe = scat(ares.q_end)
+    g_rs = scat(ares.r_start)
+    g_ops = scat(ares.ops)
+    g_nops = scat(ares.n_ops)
+    g_match = scat(ares.matches)
+    g_mis = scat(ares.mismatches)
+    g_ind = scat(ares.indels)
+    g_trunc = scat(ares.trunc)
+
+    # second-best at a DIFFERENT locus per rank (same rule as _finish)
+    far = (
+        jnp.abs(corr_start[:, None, :] - t_start[:, :, None]) > L
+    )                                                            # [B, R, C]
+    s2 = jnp.max(jnp.where(far, sw[:, None, :], 0), axis=2)      # [B, R]
+
+    results = []
+    for j in range(R):
+        s1 = g_score[:, j]
+        aln_cols = jnp.maximum(1, g_nops[:, j])
+        identity = g_match[:, j].astype(jnp.float32) / aln_cols.astype(jnp.float32)
+        residues = (g_qe[:, j] - g_qs[:, j] + 1).astype(jnp.float32)
+        mapped = (
+            (s1 > 0) & (lengths > 0)
+            & (identity >= min_identity)
+            & (residues >= min_residues * lengths.astype(jnp.float32))
+            & ~g_trunc[:, j]
+        )
+        s1f = jnp.maximum(1, s1).astype(jnp.float32)
+        mapq = jnp.clip(
+            jnp.round(60.0 * (s1 - s2[:, j]).astype(jnp.float32) / s1f), 0, 60
+        ).astype(jnp.int32)
+        results.append(MapResult(
+            mapped=mapped,
+            strand=t_strand[:, j],
+            pos=t_start[:, j] + g_rs[:, j],
+            mapq=jnp.where(mapped, mapq, 0),
+            score=s1,
+            second=s2[:, j],
+            q_start=g_qs[:, j],
+            q_end=g_qe[:, j],
+            ops=g_ops[:, j],
+            n_ops=g_nops[:, j],
+            matches=g_match[:, j],
+            mismatches=g_mis[:, j],
+            indels=g_ind[:, j],
+            n_candidates=n_cands,
+            proper=proper,
+            fanout_overflow=overflow[0],
+            cmr_overflow=overflow[1],
+        ))
+    return tuple(results)
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def map_step_paired(
+    genome, offsets, positions, reads, lengths, matrices,
+    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
+    min_insert, max_insert, pair_cutoff, best_floor=None,
+    *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    canonical=False, cs_axis=None,
+) -> MapResult:
+    """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
+
+    Pair resolution is a CxC combined-score argmax per pair over an
+    FR-orientation + insert-window validity mask, computed from candidate
+    corridor positions (like the reference, pairing happens on scores before
+    traceback).  Falls back to best singletons when no pair clears
+    pair_cutoff * (best1 + best2) — the "broken pair" path.
+
+    Lazy scoring: a pair where BOTH mates have exactly one candidate has
+    nothing to compare — its only combination is (0, 0), whose propriety is
+    pure geometry (orientation + insert window) and whose scores come from
+    the traceback DP.
+    """
+    B = reads.shape[0]
+    # lazy scoring rarely needs many slots (most reads have 1 candidate);
+    # overflow is counted, so a repeat-dense genome is visible, not silent
+    slot_cap = slot_cap or max(512, B // 2)
+    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow = _candidates(
+        genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        best_floor,
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
+        packed_offsets=packed_offsets, canonical=canonical,
+    )
+    return _paired_tail(
+        genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+        min_identity, min_residues, min_insert, max_insert, pair_cutoff,
+        corr_start, strand, cand_valid, n_cands, overflow,
+        band=band, slot_cap=slot_cap, diag_bin_log2=diag_bin_log2,
+        sw_backend=sw_backend, end_to_end=end_to_end,
     )
 
 
@@ -711,6 +1026,23 @@ class Mapper:
                 raise ValueError(
                     f"sharded index has {sidx.n_shards} shards, want {S}"
                 )
+            if sidx.dual != cfg.bs_mapping:
+                raise ValueError(
+                    "sharded index dual-table layout does not match "
+                    "--bs-mapping"
+                )
+        elif cfg.bs_mapping:
+            # bisulfite: (CT, GA) collapsed host indexes, sharded by the
+            # same position ranges into per-shard concatenated dual tables
+            if not (isinstance(self.index, tuple) and len(self.index) == 2):
+                raise ValueError(
+                    "bisulfite index sharding requires a (CT, GA) "
+                    "host-built KmerIndex pair"
+                )
+            halo = ShardedIndex.halo_for(cfg, self.read_len, paired=True)
+            sidx = ShardedIndex.build_dual(
+                *self.index, self.genome.codes, S, halo
+            )
         elif isinstance(self.index, KmerIndex) and not self.index.canonical:
             halo = ShardedIndex.halo_for(cfg, self.read_len, paired=True)
             sidx = ShardedIndex.build(self.index, self.genome.codes, S, halo)
@@ -726,9 +1058,10 @@ class Mapper:
         )
         self.band = cfg.corridor_for(self.read_len)
         # per-shard hit cap sized to per-shard index density — the point of
-        # sharding: S shards each see ~1/S of the hits
+        # sharding: S shards each see ~1/S of the hits (dual: the padded
+        # width spans both collapsed tables)
         self.hit_cap = cfg.resolved_read_hits(
-            sidx.positions.shape[1], self.read_len
+            sidx.positions.shape[1] // (2 if sidx.dual else 1), self.read_len
         )
         self.n_devices = cfg.devices or len(jax.local_devices())
         self._base = jnp.asarray(sidx.base)
@@ -784,19 +1117,26 @@ class Mapper:
         if self._shard_args is None:  # mesh path
             fn = self._ish_paired if paired else self._ish_single
             return fn(*self._ish_args, reads, lens, *scalars, *pair_args)
-        # sequential path: phase 1 — cross-shard best bucket counts
+        # SINGLE-PASS sequential path: phase 1 runs the full CS once per
+        # shard and KEEPS the candidate lists; phase 2 re-gates them by the
+        # cross-shard best and runs score+traceback only — round 2 paid two
+        # full CS passes per shard (cs_best_step + map_step) and CS
+        # dominates the sharded step (~8x device work/read at S=4)
         sens = jnp.float32(cfg.sensitivity)
         mf = jnp.int32(cfg.max_kmer_freq)
         statics = self._statics()
-        bests = [
-            cs_best_step(g, o, p, reads, lens, sens, mf, **statics)
+        cands = [
+            cs_cands_step(g, o, p, reads, lens, sens, mf, **statics)
             for (g, o, p) in self._shard_args
         ]
-        best = jnp.max(jnp.stack(bests), axis=0)
-        step = map_step_paired if paired else map_step
+        best = jnp.max(jnp.stack([c.best for c in cands]), axis=0)
+        step = map_step_paired_from_cands if paired else map_step_from_cands
+        # matrices first, then gap penalties; sensitivity rides scalars[4]
         results = [
-            step(g, o, p, reads, lens, *scalars, *pair_args, best, **statics)
-            for (g, o, p) in self._shard_args
+            step(g, reads, lens, scalars[0], scalars[1], scalars[2],
+                 scalars[3], scalars[4], scalars[6], scalars[7],
+                 *pair_args, c, best, **statics)
+            for (g, _, _), c in zip(self._shard_args, cands)
         ]
         stk = MapResult(*[
             jnp.stack([getattr(r, f) for r in results])
@@ -843,11 +1183,47 @@ class Mapper:
         return map_step(*self._common_args(codes, lengths), **self._statics())
 
     def map_batch_topn(self, codes: np.ndarray, lengths: np.ndarray) -> tuple:
+        topn = min(self.cfg.topn, self.cfg.max_cmrs)
         if self._sharded is not None:
-            raise ValueError("topn > 1 with a sharded index is not supported yet")
+            from nextgenmap_tpu.parallel.index_shard import merge_sharded_topn
+
+            cfg = self.cfg
+            reads = jnp.asarray(codes)
+            lens = jnp.asarray(lengths, jnp.int32)
+            sens = jnp.float32(cfg.sensitivity)
+            mf = jnp.int32(cfg.max_kmer_freq)
+            statics = self._statics()
+            cands = [
+                cs_cands_step(g, o, p, reads, lens, sens, mf, **statics)
+                for (g, o, p) in self._shard_args
+            ]
+            best = jnp.max(jnp.stack([c.best for c in cands]), axis=0)
+            results = [
+                map_step_topn_from_cands(
+                    g, reads, lens, self._matrices,
+                    jnp.int32(cfg.gap_read_penalty),
+                    jnp.int32(cfg.gap_ref_penalty),
+                    jnp.int32(cfg.gap_extend_penalty), sens,
+                    jnp.float32(cfg.min_identity),
+                    jnp.float32(cfg.min_residues),
+                    c, best, topn=topn, **statics,
+                )
+                for (g, _, _), c in zip(self._shard_args, cands)
+            ]                                  # [S] of R-tuples of MapResult
+            stk = MapResult(*[
+                jnp.stack([
+                    jnp.stack([getattr(shard_res[j], f) for j in range(topn)])
+                    for shard_res in results
+                ])
+                for f in MapResult._fields
+            ])                                 # fields [S, R, ...]
+            return merge_sharded_topn(
+                stk, self._base, self._clo, self._chi,
+                topn=topn, read_len=self.read_len,
+            )
         return map_step_topn(
             *self._common_args(codes, lengths),
-            topn=min(self.cfg.topn, self.cfg.max_cmrs),
+            topn=topn,
             **self._statics(),
         )
 

@@ -42,6 +42,42 @@ INT_MAX = np.int32(2**31 - 1)
 UPOS_MAX = np.uint32(2**32 - 1)  # numpy, not jnp: no XLA init at import
 
 
+def _slice_csr_shards(index: KmerIndex, G: int, n_shards: int, halo: int):
+    """Slice one global CSR into per-shard (offsets int32, local positions
+    int32) lists over the standard shard ranges.  Reuses the global CSR so
+    repeat masking stays globally consistent — a shard never resurrects a
+    globally over-frequent k-mer, which would break shard-count invariance."""
+    from nextgenmap_tpu import native
+
+    span = -(-G // n_shards)
+    nb = index.n_buckets
+    use_native = native.lib() is not None
+    if not use_native:
+        row_id = np.repeat(
+            np.arange(nb, dtype=np.int64), np.diff(index.offsets)
+        )
+        pos_all = index.positions.astype(np.int64)
+
+    offs, poss = [], []
+    for s in range(n_shards):
+        core_l, core_h = s * span, min(G, (s + 1) * span)
+        lo, hi = max(0, core_l - halo), min(G, core_h + halo)
+        if use_native:
+            # streams the CSR once per shard in C (the numpy repeat/
+            # bincount route needs ~10 min + ~20 GB at 1.2B entries)
+            off, local = native.shard_csr(index.offsets, index.positions,
+                                          lo, hi)
+        else:
+            m = (pos_all >= lo) & (pos_all < hi)
+            counts = np.bincount(row_id[m], minlength=nb)
+            off = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            local = (pos_all[m] - lo).astype(np.int32)
+        offs.append(off.astype(np.int32))
+        poss.append(local)
+    return offs, poss
+
+
 @dataclass
 class ShardedIndex:
     """Host-side container of per-shard genome slices + CSR tables, stacked
@@ -54,12 +90,14 @@ class ShardedIndex:
 
     n_shards: int
     genome: np.ndarray      # [S, Gs] uint8 (PAD-padded slices)
-    offsets: np.ndarray     # [S, 4^k+1] int32
+    offsets: np.ndarray     # [S, 4^k+1] int32 (dual: [S, 2*(4^k+1)])
     positions: np.ndarray   # [S, Pmax] int32 (local coords, 0-padded)
     base: np.ndarray        # [S] uint32 global position of slice start
     core_lo: np.ndarray     # [S] uint32 ownership range
     core_hi: np.ndarray     # [S] uint32  (genome must be < 2^32 bases)
     max_freq: int = 0       # repeat-mask cap baked into the shard CSRs
+    dual: bool = False      # bisulfite: CT + GA collapsed tables concatenated
+                            # per shard (models/mapper.py dual-table layout)
 
     @classmethod
     def build(
@@ -71,40 +109,47 @@ class ShardedIndex:
         a shard never resurrects a globally over-frequent k-mer, which would
         break shard-count invariance).
         """
-        from nextgenmap_tpu import native
+        offs, poss = _slice_csr_shards(index, genome_codes.shape[0],
+                                       n_shards, halo)
+        return cls._assemble(genome_codes, n_shards, halo, offs, poss,
+                             index.max_freq, dual=False)
 
+    @classmethod
+    def build_dual(
+        cls, index_ct: KmerIndex, index_ga: KmerIndex,
+        genome_codes: np.ndarray, n_shards: int, halo: int,
+    ) -> "ShardedIndex":
+        """Bisulfite sharding: slice BOTH collapsed CSRs by the same position
+        ranges, then concatenate per shard exactly like the unsharded
+        dual-table layout (models/mapper.py: offsets = [ct | ga + n_ct],
+        positions = [ct | ga]) so map_step's table_split lookup works
+        unchanged against each shard."""
+        G = genome_codes.shape[0]
+        offs_ct, poss_ct = _slice_csr_shards(index_ct, G, n_shards, halo)
+        offs_ga, poss_ga = _slice_csr_shards(index_ga, G, n_shards, halo)
+        offs = [
+            np.concatenate([o1, o2 + np.int32(p1.shape[0])])
+            for o1, o2, p1 in zip(offs_ct, offs_ga, poss_ct)
+        ]
+        poss = [
+            np.concatenate([p1, p2]) for p1, p2 in zip(poss_ct, poss_ga)
+        ]
+        return cls._assemble(genome_codes, n_shards, halo, offs, poss,
+                             index_ct.max_freq, dual=True)
+
+    @classmethod
+    def _assemble(cls, genome_codes, n_shards, halo, offs, poss, max_freq,
+                  dual):
         G = genome_codes.shape[0]
         span = -(-G // n_shards)
-        nb = index.n_buckets
-        use_native = native.lib() is not None
-        if not use_native:
-            row_id = np.repeat(
-                np.arange(nb, dtype=np.int64), np.diff(index.offsets)
-            )
-            pos_all = index.positions.astype(np.int64)
-
-        slices, offs, poss, bases, clo, chi = [], [], [], [], [], []
+        slices, bases, clo, chi = [], [], [], []
         for s in range(n_shards):
             core_l, core_h = s * span, min(G, (s + 1) * span)
             lo, hi = max(0, core_l - halo), min(G, core_h + halo)
-            if use_native:
-                # streams the CSR once per shard in C (the numpy repeat/
-                # bincount route needs ~10 min + ~20 GB at 1.2B entries)
-                off, local = native.shard_csr(index.offsets, index.positions,
-                                              lo, hi)
-            else:
-                m = (pos_all >= lo) & (pos_all < hi)
-                counts = np.bincount(row_id[m], minlength=nb)
-                off = np.zeros(nb + 1, dtype=np.int64)
-                np.cumsum(counts, out=off[1:])
-                local = (pos_all[m] - lo).astype(np.int32)
             slices.append(genome_codes[lo:hi])
-            offs.append(off.astype(np.int32))
-            poss.append(local)
             bases.append(lo)
             clo.append(core_l)
             chi.append(core_h)
-
         gs = max(x.shape[0] for x in slices)
         pm = max(1, max(x.shape[0] for x in poss))
         genome = np.full((n_shards, gs), PAD, dtype=np.uint8)
@@ -120,48 +165,63 @@ class ShardedIndex:
             base=np.asarray(bases, np.uint32),
             core_lo=np.asarray(clo, np.uint32),
             core_hi=np.asarray(chi, np.uint32),
-            max_freq=index.max_freq,
+            max_freq=max_freq,
+            dual=dual,
         )
 
+    # the framework's supported read-length ceiling (ref supports ~36-1000 bp)
+    MAX_READ_LEN = 1024
+
     @staticmethod
-    def halo_for(cfg: NgmConfig, read_len: int, paired: bool) -> int:
-        h = read_len + cfg.corridor_for(read_len)
+    def halo_for(cfg: NgmConfig, read_len: int = 0, paired: bool = True) -> int:
+        """Shard overlap so boundary loci are fully alignable + pairable.
+
+        Deliberately READ-LENGTH-INDEPENDENT (sized for MAX_READ_LEN): the
+        halo only has to be >= the needed span, results are invariant to its
+        size (ownership is by core range), and a fixed halo lets `ngm-tpu
+        index --index-shards N` pre-build the artifact before any reads are
+        seen.  The argument is kept for signature compatibility; a few kb of
+        extra overlap per shard is noise against gigabase shard spans.
+        """
+        L = ShardedIndex.MAX_READ_LEN
+        h = L + cfg.corridor_for(L)
         if paired:
             h += cfg.max_insert_size
         return h
 
     # -- memoization (the shard split of a gigabase CSR costs minutes; the
     # artifact reloads in seconds, like the reference's .ngm files) --
-    SHARDS_VERSION = 1
+    SHARDS_VERSION = 2  # v2: dual (bisulfite) flag in meta
 
     @staticmethod
     def cache_path(fasta_path: str, k: int, skip: int, n_shards: int,
-                   halo: int, max_freq: int) -> str:
+                   halo: int, max_freq: int, dual: bool = False) -> str:
         # every parameter that changes the shard CSR bytes must key the
         # artifact: max_freq bakes repeat masking into the tables, so a
         # stale cache would silently map with the wrong masking
+        bs = "-bs" if dual else ""
         return (f"{fasta_path}.ngmt-shards-{k}-{skip}-s{n_shards}-h{halo}"
-                f"-f{max_freq}.v{ShardedIndex.SHARDS_VERSION}.npz")
+                f"-f{max_freq}{bs}.v{ShardedIndex.SHARDS_VERSION}.npz")
 
     def save(self, path: str, genome_sha1: str) -> None:
+        meta = (
+            f"{self.n_shards}|{self.max_freq}|{int(self.dual)}|{genome_sha1}"
+        )
         np.savez(
             path, genome=self.genome, offsets=self.offsets,
             positions=self.positions, base=self.base,
             core_lo=self.core_lo, core_hi=self.core_hi,
-            meta=np.frombuffer(
-                f"{self.n_shards}|{self.max_freq}|{genome_sha1}".encode(),
-                dtype=np.uint8,
-            ),
+            meta=np.frombuffer(meta.encode(), dtype=np.uint8),
         )
 
     @classmethod
     def load(cls, path: str, genome_sha1: str,
              max_freq: int | None = None) -> "ShardedIndex | None":
         with np.load(path) as z:
-            meta = bytes(z["meta"]).decode().split("|", 2)
-            if len(meta) != 3:      # pre-max_freq artifact: treat as stale
+            meta = bytes(z["meta"]).decode().split("|", 3)
+            if len(meta) != 4:      # older artifact layout: treat as stale
                 return None
-            n_shards, mf, sha = meta
+            n_shards, mf, dual, sha = meta
             if sha != genome_sha1:
                 return None
             if max_freq is not None and int(mf) != max_freq:
@@ -170,8 +230,48 @@ class ShardedIndex:
                 n_shards=int(n_shards), genome=z["genome"],
                 offsets=z["offsets"], positions=z["positions"],
                 base=z["base"], core_lo=z["core_lo"], core_hi=z["core_hi"],
-                max_freq=int(mf),
+                max_freq=int(mf), dual=bool(int(dual)),
             )
+
+
+def open_sharded(cfg: NgmConfig, ref_path: str, genome, index) -> ShardedIndex:
+    """Build-or-load the memoized per-shard artifact (.ngmt-shards).
+
+    `index` is a host KmerIndex (non-canonical) or a (CT, GA) pair for
+    bisulfite.  Shared by the `ngm-tpu index --index-shards N` verb (pre-pay
+    the minutes-long gigabase shard split) and run_mapping (zero index work
+    when the artifact exists).
+    """
+    import os
+
+    from nextgenmap_tpu.utils.logging import get_logger
+
+    log = get_logger("ngm-tpu.index")
+    dual = isinstance(index, tuple)
+    halo = ShardedIndex.halo_for(cfg)
+    cache = ShardedIndex.cache_path(
+        ref_path, cfg.kmer, cfg.kmer_skip, cfg.index_shards, halo,
+        cfg.max_kmer_freq, dual=dual,
+    )
+    if os.path.exists(cache):
+        sidx = ShardedIndex.load(cache, genome.sha1(),
+                                 max_freq=cfg.max_kmer_freq)
+        if sidx is not None:
+            log.info("loaded sharded index from %s", cache)
+            return sidx
+    if dual:
+        sidx = ShardedIndex.build_dual(
+            *index, genome.codes, cfg.index_shards, halo
+        )
+    else:
+        sidx = ShardedIndex.build(index, genome.codes, cfg.index_shards, halo)
+    if not cfg.skip_save:
+        try:
+            sidx.save(cache, genome.sha1())
+            log.info("memoized sharded index to %s", cache)
+        except OSError as e:
+            log.warning("could not memoize sharded index: %s", e)
+    return sidx
 
 
 def _lex_winner(sc, st, gp):
@@ -280,6 +380,88 @@ def merge_sharded_results(
     merged["mapq"] = jnp.where(mapped, mapq, 0)
     merged["proper"] = merged["proper"] & mapped
     return MapResult(**merged)
+
+
+@partial(jax.jit, static_argnames=("topn", "read_len"))
+def merge_sharded_topn(
+    stk: MapResult, base, core_lo, core_hi, *, topn: int, read_len: int
+) -> tuple:
+    """Merge per-shard topn MapResults (fields [S, R, B]) into global rank
+    lists (ref -n with --index-shards).
+
+    Exactness argument: every candidate a shard owns that belongs in the
+    GLOBAL top R is necessarily in that shard's LOCAL top R (per-shard lists
+    are sorted by the same rule-11 keys), so interleaving the S*R owned
+    entries by (score DESC, strand fwd first, global position ASC, shard
+    ASC) and taking the first R reproduces the unsharded ranking.  MAPQ
+    second-best mirrors merge_sharded_results: other owned entries at a far
+    locus, or the winning entry's own local second.
+    """
+    L = read_len
+    S, R, B = stk.score.shape
+    base_u = base.astype(jnp.uint32)[:, None, None]
+    lo_u = core_lo.astype(jnp.uint32)[:, None, None]
+    hi_u = core_hi.astype(jnp.uint32)[:, None, None]
+    has = stk.score > 0
+    gpos = jnp.where(has, base_u + stk.pos.astype(jnp.uint32), UPOS_MAX)
+    own = has & (gpos >= lo_u) & (gpos < hi_u)
+    E = S * R
+
+    as_be = lambda x: jnp.transpose(x.reshape(E, B))             # [B, E]
+    sc_e = as_be(jnp.where(own, stk.score, -1))
+    st_e = as_be(jnp.where(own, stk.strand, 2))
+    gp_e = as_be(jnp.where(own, gpos, UPOS_MAX))
+    eidx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, E), 1), (B, E)
+    )
+    # stable lexicographic sort; equal keys resolve by entry index =
+    # (shard ASC, rank ASC), the rule-11 shard tie-break
+    _, _, _, order = jax.lax.sort(
+        (-sc_e, st_e, gp_e, eidx), num_keys=3
+    )
+    sel = order[:, :R]                                           # [B, R]
+    brow = jnp.arange(B)[:, None]
+
+    def take(x):                     # [S, R, B, ...] -> [B, R, ...]
+        x_e = x.reshape((E, B) + x.shape[3:])
+        return x_e[sel, brow]
+
+    win_sc = take(jnp.where(own, stk.score, 0))
+    win_gp = take(gpos)
+    # far second-best per rank: other owned entries at a different locus
+    far = (
+        jnp.maximum(gp_e[:, None, :], win_gp[:, :, None])
+        - jnp.minimum(gp_e[:, None, :], win_gp[:, :, None])
+    ) > jnp.uint32(L)                                            # [B, R, E]
+    s2_other = jnp.max(
+        jnp.where(far & (sc_e[:, None, :] > 0), sc_e[:, None, :], 0), axis=2
+    )
+    s2 = jnp.maximum(s2_other, take(stk.second))                 # [B, R]
+
+    fan_ovf = jnp.sum(stk.fanout_overflow[:, 0])
+    cmr_ovf = jnp.sum(stk.cmr_overflow[:, 0])
+    results = []
+    for j in range(R):
+        fields = {}
+        for name in MapResult._fields:
+            if name in ("fanout_overflow", "cmr_overflow"):
+                continue
+            val = gpos if name == "pos" else getattr(stk, name)
+            fields[name] = take(val)[:, j]
+        mapped = fields["mapped"] & (win_sc[:, j] > 0)
+        s1f = jnp.maximum(1, win_sc[:, j]).astype(jnp.float32)
+        mapq = jnp.clip(
+            jnp.round(
+                60.0 * (win_sc[:, j] - s2[:, j]).astype(jnp.float32) / s1f
+            ), 0, 60,
+        ).astype(jnp.int32)
+        fields["mapped"] = mapped
+        fields["second"] = s2[:, j]
+        fields["mapq"] = jnp.where(mapped, mapq, 0)
+        results.append(MapResult(
+            fanout_overflow=fan_ovf, cmr_overflow=cmr_ovf, **fields
+        ))
+    return tuple(results)
 
 
 def make_index_sharded_map_step(mesh: Mesh, paired: bool, read_len: int, **statics):

@@ -48,6 +48,19 @@ def load_reference(cfg: NgmConfig, ref_path: str):
         return None
 
     if cfg.bs_mapping:
+        if cfg.index_shards > 1:
+            # sharding slices host CSRs by position range, so both collapsed
+            # tables must exist as host indexes (built + memoized here)
+            pair = tuple(
+                KmerIndex.open(
+                    ref_path, genome.codes, genome.sha1(),
+                    k=cfg.kmer, skip=cfg.kmer_skip,
+                    max_freq=cfg.max_kmer_freq, collapse=c,
+                    skip_save=cfg.skip_save,
+                )
+                for c in ("ct", "ga")
+            )
+            return genome, pair
         ct, ga = try_load("ct"), try_load("ga")
         return genome, (ct, ga) if ct and ga else None
     if cfg.index_shards > 1:
@@ -548,32 +561,11 @@ def run_mapping(
     log.info("read length (padded): %d", read_len)
     # sharded index: build-or-load the per-shard artifact here (needs
     # read_len for the halo; memoized like the reference's .ngm files)
-    if cfg.index_shards > 1 and index is not None and not isinstance(index, tuple):
-        from nextgenmap_tpu.parallel.index_shard import ShardedIndex
+    if cfg.index_shards > 1 and index is not None:
+        from nextgenmap_tpu.parallel.index_shard import ShardedIndex, open_sharded
 
         if not isinstance(index, ShardedIndex):
-            halo = ShardedIndex.halo_for(cfg, read_len, paired=True)
-            cache = ShardedIndex.cache_path(
-                ref_path, cfg.kmer, cfg.kmer_skip, cfg.index_shards, halo,
-                cfg.max_kmer_freq,
-            )
-            sidx = None
-            if os.path.exists(cache):
-                sidx = ShardedIndex.load(cache, genome.sha1(),
-                                         max_freq=cfg.max_kmer_freq)
-                if sidx is not None:
-                    log.info("loaded sharded index from %s", cache)
-            if sidx is None:
-                sidx = ShardedIndex.build(
-                    index, genome.codes, cfg.index_shards, halo
-                )
-                if not cfg.skip_save:
-                    try:
-                        sidx.save(cache, genome.sha1())
-                        log.info("memoized sharded index to %s", cache)
-                    except OSError as e:
-                        log.warning("could not memoize sharded index: %s", e)
-            index = sidx
+            index = open_sharded(cfg, ref_path, genome, index)
     # long reads (ref supports ~36-1000 bp): per-read DP state scales
     # L x corridor, so shrink the batch to keep the traceback direction
     # matrix bounded — deterministic from the input, so resume-safe

@@ -84,6 +84,25 @@ def test_bs_mapping_recovers_converted_reads(bs_dir):
     assert ok >= int(0.9 * N), f"bs mode mapped only {ok}/{N} correctly"
 
 
+def test_bs_sharded_identical(bs_dir):
+    """--bs-mapping x --index-shards (VERDICT round-2 directive 1): the dual
+    CT/GA collapsed tables shard by position range and both execution modes
+    are record-identical to the unsharded bisulfite run."""
+    d, _ = bs_dir
+    strip = lambda out: [
+        l for l in (d / out).read_text().splitlines()
+        if not l.startswith("@PG")
+    ]
+    _run(d, "bs_base.sam", ("--bs-mapping",))
+    _run(d, "bs_seq2.sam", ("--bs-mapping", "--index-shards", "2"))
+    assert strip("bs_base.sam") == strip("bs_seq2.sam")
+    _run(d, "bs_seq3.sam", ("--bs-mapping", "--index-shards", "3"))
+    assert strip("bs_base.sam") == strip("bs_seq3.sam")
+    _run(d, "bs_mesh.sam", ("--bs-mapping", "--index-shards", "2",
+                            "--devices", "4"))
+    assert strip("bs_base.sam") == strip("bs_mesh.sam")
+
+
 def test_bs_reads_fail_without_bs_mode(bs_dir):
     d, truth = bs_dir
     recs = _run(d, "nobs.sam")
