@@ -133,6 +133,12 @@ def build_parser():
                             "(only needed for cross-host collectives)")
         g.add_argument("--no-merge", action="store_true",
                        help="leave per-host .part outputs unmerged")
+        g.add_argument("--shard-across-hosts", action="store_true",
+                       help="with --index-shards N: the shards live on "
+                            "different hosts (global mesh via "
+                            "--dist-coordinator); every process maps every "
+                            "batch, each holding ONLY its own index shard; "
+                            "process 0 writes the single output")
 
     map_p = sub.add_parser("map", help="map reads (default verb)")
     add_common(map_p)
@@ -187,7 +193,7 @@ def config_from_args(a) -> NgmConfig:
         qry_start=a.qry_start, qry_count=a.qry_count,
         dist_nprocs=a.dist_nprocs, dist_procid=a.dist_procid,
         dist_coordinator=a.dist_coordinator, no_merge=a.no_merge,
-        index_shards=a.index_shards,
+        index_shards=a.index_shards, shard_hosts=a.shard_across_hosts,
     )
 
 
@@ -219,15 +225,25 @@ def main(argv: list[str] | None = None) -> int:
             for collapse in modes
         ]
         if sharded:
-            from nextgenmap_tpu.parallel.index_shard import open_sharded
+            from nextgenmap_tpu.parallel.index_shard import (
+                ShardedIndex, open_sharded,
+            )
 
             cfg = NgmConfig(
                 kmer=a.kmer, kmer_skip=a.kmer_skip, max_kmer_freq=a.max_freq,
                 bs_mapping=a.bs_mapping, index_shards=a.index_shards,
                 max_insert_size=a.max_insert_size,
             )
-            open_sharded(cfg, a.reference, genome,
-                         tuple(built) if a.bs_mapping else built[0])
+            sidx = open_sharded(cfg, a.reference, genome,
+                                tuple(built) if a.bs_mapping else built[0])
+            # ALSO write per-shard artifacts so `map --shard-across-hosts`
+            # processes each load only their own shard (no global CSR touch)
+            halo = ShardedIndex.halo_for(cfg)
+            path_for = lambda s: ShardedIndex.shard_cache_path(
+                a.reference, s, cfg.kmer, cfg.kmer_skip, cfg.index_shards,
+                halo, cfg.max_kmer_freq, dual=cfg.bs_mapping,
+            )
+            sidx.save_shards(path_for, genome.sha1())
         return 0
 
     if not (a.qry or a.qry1):

@@ -120,6 +120,13 @@ class NgmConfig:
                                   # else a sequential shard loop on one device
                                   # (how a >2^31-base genome fits int32 device
                                   # coordinates on a single chip)
+    shard_hosts: bool = False     # --shard-across-hosts: the index shards live
+                                  # on DIFFERENT hosts (global ("dp","ish")
+                                  # mesh via jax.distributed); each process
+                                  # builds/loads ONLY its own shard(s) and
+                                  # all processes map every batch together,
+                                  # merging per-shard hits with cross-host
+                                  # all_gather (north-star config 4 layout)
 
     # ------------------------------------------------------------------
     def corridor_for(self, read_len: int) -> int:
@@ -197,6 +204,20 @@ class NgmConfig:
             raise ValueError("need dist_nprocs >= 1 and 0 <= dist_procid < nprocs")
         if self.index_shards < 1:
             raise ValueError("index_shards must be >= 1")
+        if self.shard_hosts:
+            if self.index_shards < 2:
+                raise ValueError("--shard-across-hosts needs --index-shards >= 2")
+            if self.dist_nprocs > 1 and not self.dist_coordinator:
+                raise ValueError(
+                    "--shard-across-hosts with multiple processes needs "
+                    "--dist-coordinator for the global jax.distributed runtime"
+                )
+            if self.topn > 1:
+                raise ValueError(
+                    "--shard-across-hosts does not support -n/--topn > 1 "
+                    "(the mesh merge computes the single best); run topn "
+                    "with the single-host sequential shard loop instead"
+                )
         if self.index_shards > 1 and self.topn > 1 and self.devices > 1:
             # the sequential one-chip shard loop merges per-shard rank lists
             # (merge_sharded_topn); the (dp, ish) mesh step only computes the

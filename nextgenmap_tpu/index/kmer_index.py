@@ -249,10 +249,15 @@ class KmerIndex:
             "max_freq": self.max_freq, "collapse": self.collapse,
             "genome_sha1": self.genome_sha1, "canonical": self.canonical,
         }
+        # atomic: concurrent processes (cross-host sharding on one fs) may
+        # memoize the same cache; tmp+rename keeps readers from seeing a
+        # half-written npz
+        tmp = f"{path}.tmp{os.getpid()}.npz"
         np.savez(
-            path, offsets=self.offsets, positions=self.positions,
+            tmp, offsets=self.offsets, positions=self.positions,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         )
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "KmerIndex":

@@ -1053,17 +1053,50 @@ class Mapper:
         self._sharded = sidx
         self._canonical = False
         self._packed_offsets = False
-        self._matrices = jnp.asarray(
-            np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
-        )
+        self._matrices_np = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
+        self._matrices = jnp.asarray(self._matrices_np)
         self.band = cfg.corridor_for(self.read_len)
         # per-shard hit cap sized to per-shard index density — the point of
         # sharding: S shards each see ~1/S of the hits (dual: the padded
-        # width spans both collapsed tables)
+        # width spans both collapsed tables).  Pmax is a GLOBAL maximum even
+        # for a cross-host subset, so every process resolves the same cap.
         self.hit_cap = cfg.resolved_read_hits(
             sidx.positions.shape[1] // (2 if sidx.dual else 1), self.read_len
         )
         self.n_devices = cfg.devices or len(jax.local_devices())
+        self._cross_host = False
+        if cfg.shard_hosts:
+            # cross-host index sharding (north-star config 4): a GLOBAL
+            # ("dp", "ish") mesh where each host's devices cover only its
+            # own shard columns; this host's ShardedIndex subset rows are
+            # placed per-device via make_array_from_single_device_arrays
+            from nextgenmap_tpu.parallel.index_shard import (
+                global_ish_mesh, local_shard_ids, make_global_ish_arrays,
+                make_index_sharded_map_step,
+            )
+
+            mesh = global_ish_mesh(S)
+            own = local_shard_ids(mesh)
+            have = (list(range(S)) if sidx.shard_ids is None
+                    else [int(x) for x in sidx.shard_ids])
+            if not set(own) <= set(have):
+                raise ValueError(
+                    f"this host's devices need shards {own} but the local "
+                    f"index subset holds {have}"
+                )
+            self._cross_host = True
+            self._base = jnp.asarray(sidx.base)
+            self._clo = jnp.asarray(sidx.core_lo)
+            self._chi = jnp.asarray(sidx.core_hi)
+            self._ish_args = make_global_ish_arrays(mesh, sidx)
+            self._ish_single = make_index_sharded_map_step(
+                mesh, paired=False, read_len=self.read_len, **self._statics()
+            )
+            self._ish_paired = make_index_sharded_map_step(
+                mesh, paired=True, read_len=self.read_len, **self._statics()
+            )
+            self._shard_args = None
+            return
         self._base = jnp.asarray(sidx.base)
         self._clo = jnp.asarray(sidx.core_lo)
         self._chi = jnp.asarray(sidx.core_hi)
@@ -1105,6 +1138,23 @@ class Mapper:
         from nextgenmap_tpu.parallel.index_shard import merge_sharded_results
 
         cfg = self.cfg
+        if self._cross_host:
+            # multi-process mesh: inputs must be either the pre-placed global
+            # index arrays or UNCOMMITTED host values (identical on every
+            # process, auto-replicated per in_specs); a jnp.asarray here
+            # would commit to local device 0 and break cross-process placement
+            reads = np.ascontiguousarray(codes)
+            lens = np.asarray(lengths, np.int32)
+            scalars = (
+                self._matrices_np,
+                np.int32(cfg.gap_read_penalty), np.int32(cfg.gap_ref_penalty),
+                np.int32(cfg.gap_extend_penalty),
+                np.float32(cfg.sensitivity), np.int32(cfg.max_kmer_freq),
+                np.float32(cfg.min_identity), np.float32(cfg.min_residues),
+            )
+            pair_args = tuple(np.asarray(x) for x in pair_args)
+            fn = self._ish_paired if paired else self._ish_single
+            return fn(*self._ish_args, reads, lens, *scalars, *pair_args)
         reads = jnp.asarray(codes)
         lens = jnp.asarray(lengths, jnp.int32)
         scalars = (

@@ -220,11 +220,14 @@ def _slot_owners_bisect(cum, o0, payload, H):
 
 
 # above this hit cap the dense [B, H, Qt] ownership tensors cost more HBM
-# traffic than the sort-based rank-merge (legacy crossover, pre-bisect)
+# traffic than the alternatives; below it dense WINS on chip (measured r3:
+# E. coli H=128 bench 178.7k dense vs 76.3k bisect — the bisect gathers'
+# latency chain beats the dense compare-sums only at large H)
 _DENSE_H_MAX = 256
-# ownership strategy: "auto" = bisect; "dense"/"sorted"/"scatter" force a
-# legacy variant (A/B probes + test oracles).  Read at trace time: set the
-# env (or monkeypatch) BEFORE the first jit call.
+# ownership strategy: "auto" = dense at H <= _DENSE_H_MAX, else bisect;
+# "dense"/"sorted"/"scatter"/"bisect" force a variant (A/B probes + test
+# oracles).  Read at trace time: set the env (or monkeypatch) BEFORE the
+# first jit call.
 import os as _os
 
 _OWNERS_MODE = _os.environ.get("NGM_OWNERS", "auto")
@@ -232,7 +235,9 @@ _OWNERS_MODE = _os.environ.get("NGM_OWNERS", "auto")
 
 def _slot_owners(cum, o0, payload, H, cnt):
     mode = _OWNERS_MODE
-    if mode in ("auto", "bisect"):
+    if mode == "auto":
+        mode = "dense" if H <= _DENSE_H_MAX else "bisect"
+    if mode == "bisect":
         return _slot_owners_bisect(cum, o0, payload, H)
     if mode == "scatter":
         return _slot_owners_scatter(cum, o0, payload, H, cnt)

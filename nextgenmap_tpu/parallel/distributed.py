@@ -41,6 +41,12 @@ def init_distributed(coordinator: str, num_processes: int, process_id: int) -> N
     """
     import jax
 
+    try:
+        # multi-process CPU meshes (tests; SURVEY.md §4 item 6) need a CPU
+        # collectives implementation; harmless on TPU (TPU uses ICI/DCN)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older/newer jax without the option
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

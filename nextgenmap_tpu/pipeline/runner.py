@@ -47,6 +47,11 @@ def load_reference(cfg: NgmConfig, ref_path: str):
                 return index
         return None
 
+    if cfg.shard_hosts:
+        # cross-host index sharding: this host builds/loads ONLY its own
+        # shard(s) — resolved in run_mapping once the global mesh exists
+        # (parallel/index_shard.py::open_sharded_local)
+        return genome, None
     if cfg.bs_mapping:
         if cfg.index_shards > 1:
             # sharding slices host CSRs by position range, so both collapsed
@@ -530,9 +535,28 @@ def run_mapping(
 
     # -- multi-host sharding (SURVEY.md §2.3/§5.8; parallel/distributed.py):
     # this process maps read batches b with b % nprocs == procid into a
-    # .part file; process 0 merges parts back into input order at the end --
-    dist = cfg.dist_nprocs > 1
+    # .part file; process 0 merges parts back into input order at the end.
+    # With --shard-across-hosts the model flips: the INDEX is what is split
+    # across processes (each holds only its shard), every process maps EVERY
+    # batch through the global mesh, and only process 0 emits output --
+    dist = cfg.dist_nprocs > 1 and not cfg.shard_hosts
     final_out = out_path
+    if cfg.shard_hosts and cfg.dist_nprocs > 1:
+        if resume:
+            # every process must dispatch the identical batch sequence
+            # (collectives are lockstep); a proc-0-only input rewind would
+            # desynchronize the mesh
+            raise ValueError("--resume is not supported with "
+                             "--shard-across-hosts; rerun the mapping")
+        from nextgenmap_tpu.parallel import distributed as dist_mod
+
+        dist_mod.init_distributed(
+            cfg.dist_coordinator, cfg.dist_nprocs, cfg.dist_procid
+        )
+        if cfg.dist_procid != 0:
+            # non-emitting participant: still runs every device step (its
+            # shard's side of the collectives) but writes no output
+            out_path = os.devnull
     if dist:
         from nextgenmap_tpu.parallel import distributed as dist_mod
 
@@ -561,7 +585,14 @@ def run_mapping(
     log.info("read length (padded): %d", read_len)
     # sharded index: build-or-load the per-shard artifact here (needs
     # read_len for the halo; memoized like the reference's .ngm files)
-    if cfg.index_shards > 1 and index is not None:
+    if cfg.shard_hosts:
+        from nextgenmap_tpu.parallel.index_shard import (
+            global_ish_mesh, local_shard_ids, open_sharded_local,
+        )
+
+        own = local_shard_ids(global_ish_mesh(cfg.index_shards))
+        index = open_sharded_local(cfg, ref_path, genome, own)
+    elif cfg.index_shards > 1 and index is not None:
         from nextgenmap_tpu.parallel.index_shard import ShardedIndex, open_sharded
 
         if not isinstance(index, ShardedIndex):
@@ -579,7 +610,8 @@ def run_mapping(
 
     # -- checkpoint/resume bookkeeping --
     progress_path = (
-        f"{out_path}.ngmt-progress.json" if out_path not in (None, "-") else None
+        f"{out_path}.ngmt-progress.json"
+        if out_path not in (None, "-", os.devnull) else None
     )
     # the hash covers mapping SEMANTICS; the input window (qry_start/count)
     # is exactly what resume adjusts, and flags that change no record bytes
