@@ -1225,11 +1225,52 @@ class Mapper:
             canonical=self._canonical,
         )
 
+    # reads past this length run as TWO programs (cs_cands_step +
+    # map_step_*_from_cands, byte-identical to the fused step by the
+    # CandState invariant) instead of one: the fused L=1000 program is what
+    # crashed the sandbox's remote-compile helper (BASELINE.md round 2), and
+    # per-program size is the lever.  NGM_STAGED=always|never overrides.
+    STAGED_READ_LEN = 512
+
+    def _staged(self) -> bool:
+        import os
+
+        mode = os.environ.get("NGM_STAGED", "auto")
+        if mode == "always":
+            return True
+        if mode == "never":
+            return False
+        return (
+            self.read_len > self.STAGED_READ_LEN
+            and jax.default_backend() == "tpu"
+        )
+
+    def _map_staged(self, codes, lengths, paired: bool, pair_args=()):
+        cfg = self.cfg
+        reads = jnp.asarray(codes)
+        lens = jnp.asarray(lengths, jnp.int32)
+        sens = jnp.float32(cfg.sensitivity)
+        statics = self._statics()
+        c = cs_cands_step(
+            self._genome_dev, self._off_dev, self._pos_dev, reads, lens,
+            sens, jnp.int32(cfg.max_kmer_freq), **statics,
+        )
+        step = map_step_paired_from_cands if paired else map_step_from_cands
+        return step(
+            self._genome_dev, reads, lens, self._matrices,
+            jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),
+            jnp.int32(cfg.gap_extend_penalty), sens,
+            jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
+            *pair_args, c, c.best, **statics,
+        )
+
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         if self._sharded is not None:
             return self._map_sharded(codes, lengths, paired=False)
         if self.n_devices > 1:
             return self._dp_single(*self._common_args(codes, lengths))
+        if self._staged():
+            return self._map_staged(codes, lengths, paired=False)
         return map_step(*self._common_args(codes, lengths), **self._statics())
 
     def map_batch_topn(self, codes: np.ndarray, lengths: np.ndarray) -> tuple:
@@ -1288,6 +1329,9 @@ class Mapper:
                                      pair_args=pair_args)
         if self.n_devices > 1:
             return self._dp_paired(*self._common_args(codes, lengths), *pair_args)
+        if self._staged():
+            return self._map_staged(codes, lengths, paired=True,
+                                    pair_args=pair_args)
         return map_step_paired(
             *self._common_args(codes, lengths), *pair_args, **self._statics(),
         )

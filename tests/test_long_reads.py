@@ -72,6 +72,41 @@ def test_long_reads_map(tmp_path, read_len):
     assert correct >= 0.9 * mapped
 
 
+@pytest.mark.parametrize("paired", [False, True])
+def test_staged_step_identical(monkeypatch, paired):
+    """The two-program staged path (cs_cands_step + map_step_*_from_cands —
+    the long-read lever that keeps any single compiled program small) must be
+    BIT-identical to the fused map_step for every result field."""
+    from nextgenmap_tpu.index.genome import Genome
+    from nextgenmap_tpu.models.mapper import Mapper
+
+    g = random_genome(80_000, seed=9)
+    reads = simulate_reads(g, 32, read_len=150, snp_rate=0.03,
+                           indel_rate=0.003, seed=10)
+    codes = np.full((32, 150), 4, np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : r.codes.shape[0]] = r.codes
+    lens = np.array([min(150, r.codes.shape[0]) for r in reads], np.int32)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    write_fasta(f"{d}/ref.fa", [("chr1", decode_seq(g))])
+    genome = Genome.open(f"{d}/ref.fa", skip_save=True)
+    cfg = NgmConfig(batch_size=32, skip_save=True)
+    mapper = Mapper(cfg, genome, 150)
+
+    monkeypatch.setenv("NGM_STAGED", "never")
+    fused = (mapper.map_batch_paired(codes, lens) if paired
+             else mapper.map_batch(codes, lens))
+    monkeypatch.setenv("NGM_STAGED", "always")
+    staged = (mapper.map_batch_paired(codes, lens) if paired
+              else mapper.map_batch(codes, lens))
+    for f in fused._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(staged, f)), f
+        )
+
+
 def test_long_read_batch_autoshrink(tmp_path):
     """Default batch sizes shrink for long reads so the traceback direction
     matrix stays bounded (runner long-read scaling)."""

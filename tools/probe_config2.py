@@ -25,11 +25,12 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GENOME_SIZE = 64_000_000
-READ_LEN = 150
-BATCH = 4096
-N_BATCHES = 8
+GENOME_SIZE = int(os.environ.get("NGM_PROBE_G", 64_000_000))
+READ_LEN = int(os.environ.get("NGM_PROBE_L", 150))
+BATCH = int(os.environ.get("NGM_PROBE_B", 4096))
+N_BATCHES = int(os.environ.get("NGM_PROBE_N", 8))
 SNP_RATE = 0.02
+FORCE_H = int(os.environ.get("NGM_PROBE_H", 0))  # 0 = auto
 
 
 def log(*a):
@@ -45,6 +46,8 @@ def main() -> None:
     from nextgenmap_tpu.ops.scoring import score_matrix
 
     cfg = NgmConfig()
+    if FORCE_H:
+        cfg = cfg.replace(max_read_hits=FORCE_H)
     dev = jax.devices()[0]
     log(f"device: {dev.platform}  owners mode: {_OWNERS_MODE}")
 
