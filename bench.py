@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from nextgenmap_tpu.config import NgmConfig
 from nextgenmap_tpu.io.simulate import random_genome, simulate_reads_fast
 from nextgenmap_tpu.models.mapper import map_step
-from nextgenmap_tpu.ops.scoring import score_matrix
+from nextgenmap_tpu.ops.scoring import matrices_are_simple, score_matrix
 
 GENOME_SIZE = 4_600_000   # E. coli K-12 scale
 READ_LEN = 100
@@ -79,6 +79,7 @@ def main() -> None:
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
         packed_offsets=packed_offsets, canonical=True,
         sw_backend=cfg.sw_backend,
+        simple_matrix=True,
     )
 
     mats_d = jnp.asarray(mats)

@@ -192,6 +192,7 @@ def _score_candidates(
     genome, reads, rc, lengths, corr_start, strand, cand_valid, score_mask,
     matrices, gopen_q, gopen_r, gext,
     *, band, slot_cap, sw_backend="xla", end_to_end=False,
+    simple_matrix=False,
 ):
     """Banded-SW score the candidates of reads selected by `score_mask`.
 
@@ -255,13 +256,14 @@ def _score_candidates(
         sres = banded_sw_score_pallas(
             q_s, len_s, corr_s, matrices,
             gopen_q, gopen_r, gext, strand_s,
-            band=W,
+            band=W, simple=simple_matrix,
         )
     else:
         sres = banded_sw_score(
             q_s, len_s, corr_s, matrices,
             gopen_q, gopen_r, gext, strand_s,
             band=W, mode="glocal" if end_to_end else "local",
+            simple=simple_matrix,
         )
     score_s = jnp.where(slot_valid, sres.score, 0)
 
@@ -280,6 +282,7 @@ def _finish(
     a1, sw, corr_start, strand, cand_valid, genome, reads, rc, lengths,
     matrices, gopen_q, gopen_r, gext, min_identity, min_residues,
     n_cands, overflow, proper, *, band, end_to_end=False,
+    simple_matrix=False,
 ):
     """Traceback the chosen candidate a1 [B] and apply filters + MAPQ.
 
@@ -313,6 +316,7 @@ def _finish(
         best_query, lengths, best_corr, matrices,
         gopen_q, gopen_r, gext, best_strand,
         band=band, mode="glocal" if end_to_end else "local",
+        simple=simple_matrix,
     )
     s1 = jnp.where(a1_valid, ares.score, 0)
 
@@ -362,6 +366,7 @@ _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
     "min_kmer_hits", "slot_cap", "read_stride", "bs", "bs_cutoff",
     "sw_backend", "end_to_end", "cs_axis", "packed_offsets", "canonical",
+    "simple_matrix",
 )
 
 
@@ -369,6 +374,7 @@ def _single_tail(
     genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
     min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
     overflow, *, band, slot_cap, sw_backend, end_to_end,
+    simple_matrix=False,
 ):
     """Everything after candidate search for the single-end step: lazy
     scoring, rule-11 argmax selection, traceback + filters."""
@@ -377,7 +383,7 @@ def _single_tail(
         genome, reads, rc, lengths, corr_start, strand, cand_valid,
         n_cands >= 2, matrices, gopen_q, gopen_r, gext,
         band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end,
+        end_to_end=end_to_end, simple_matrix=simple_matrix,
     )
     overflow = (overflow[0], overflow[1] + slot_ovf)
     # first max = score DESC, fwd first, pos ASC; all-zero (lazy) rows pick
@@ -388,6 +394,7 @@ def _single_tail(
         a1, sw, corr_start, strand, cand_valid, genome, reads, rc, lengths,
         matrices, gopen_q, gopen_r, gext, min_identity, min_residues,
         n_cands, overflow, proper, band=band, end_to_end=end_to_end,
+        simple_matrix=simple_matrix,
     )
 
 
@@ -396,6 +403,7 @@ def _paired_tail(
     min_identity, min_residues, min_insert, max_insert, pair_cutoff,
     corr_start, strand, cand_valid, n_cands, overflow,
     *, band, slot_cap, diag_bin_log2, sw_backend, end_to_end,
+    simple_matrix=False,
 ):
     """Everything after candidate search for the paired step: lazy scoring,
     CxC insert-window pair resolution, traceback + filters."""
@@ -410,7 +418,7 @@ def _paired_tail(
         genome, reads, rc, lengths, corr_start, strand, cand_valid,
         jnp.repeat(pair_multi, 2), matrices, gopen_q, gopen_r, gext,
         band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end,
+        end_to_end=end_to_end, simple_matrix=simple_matrix,
     )
     overflow = (overflow[0], overflow[1] + slot_ovf)
 
@@ -467,6 +475,7 @@ def _paired_tail(
         a1, sw, corr_start, strand, cand_valid, genome, reads, rc, lengths,
         matrices, gopen_q, gopen_r, gext, min_identity, min_residues,
         n_cands, overflow, proper, band=band, end_to_end=end_to_end,
+        simple_matrix=simple_matrix,
     )
 
 
@@ -478,6 +487,7 @@ def map_step(
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
     canonical=False, cs_axis=None,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection).
@@ -502,7 +512,7 @@ def map_step(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
         overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end,
+        end_to_end=end_to_end, simple_matrix=simple_matrix,
     )
 
 
@@ -512,6 +522,7 @@ def cs_best_step(
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
     canonical=False, cs_axis=None,
 ) -> jax.Array:
     """Candidate-search-only pass returning the per-read best bucket count.
@@ -558,6 +569,7 @@ def cs_cands_step(
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
     canonical=False, cs_axis=None,
 ) -> CandState:
     """Phase 1 of the SINGLE-PASS sequential index-shard loop: the full CS
@@ -616,6 +628,7 @@ def map_step_from_cands(
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
     canonical=False, cs_axis=None,
 ) -> MapResult:
     """Phase 2 of the single-pass sequential shard loop: score + select +
@@ -633,7 +646,7 @@ def map_step_from_cands(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
         overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end,
+        end_to_end=end_to_end, simple_matrix=simple_matrix,
     )
 
 
@@ -645,6 +658,7 @@ def map_step_paired_from_cands(
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
     canonical=False, cs_axis=None,
 ) -> MapResult:
     """Paired phase 2 of the single-pass sequential shard loop."""
@@ -661,6 +675,7 @@ def map_step_paired_from_cands(
         corr_start, strand, cand_valid, n_cands, overflow,
         band=band, slot_cap=slot_cap, diag_bin_log2=diag_bin_log2,
         sw_backend=sw_backend, end_to_end=end_to_end,
+        simple_matrix=simple_matrix,
     )
 
 
@@ -670,7 +685,8 @@ def map_step_topn_from_cands(
     sensitivity, min_identity, min_residues, cand: CandState, best_g,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False, topn=2,
     canonical=False, cs_axis=None,
 ) -> tuple:
     """Topn phase 2 of the single-pass sequential shard loop (ref -n with
@@ -689,7 +705,7 @@ def map_step_topn_from_cands(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
         overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end, topn=topn,
+        end_to_end=end_to_end, topn=topn, simple_matrix=simple_matrix,
     )
 
 
@@ -699,7 +715,8 @@ def map_step_topn(
     gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
-    sw_backend="xla", end_to_end=False, packed_offsets=False, topn=2,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False, topn=2,
     canonical=False, cs_axis=None,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
@@ -723,7 +740,7 @@ def map_step_topn(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
         overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end, topn=topn,
+        end_to_end=end_to_end, topn=topn, simple_matrix=simple_matrix,
     )
 
 
@@ -731,6 +748,7 @@ def _topn_tail(
     genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
     min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
     overflow, *, band, slot_cap, sw_backend, end_to_end, topn,
+    simple_matrix=False,
 ):
     """Everything after candidate search for the topn step: eager scoring,
     rank selection, ONE compacted traceback for all ranks."""
@@ -739,7 +757,7 @@ def _topn_tail(
         genome, reads, rc, lengths, corr_start, strand, cand_valid,
         jnp.ones(B, dtype=bool), matrices, gopen_q, gopen_r, gext,
         band=band, slot_cap=slot_cap, sw_backend=sw_backend,
-        end_to_end=end_to_end,
+        end_to_end=end_to_end, simple_matrix=simple_matrix,
     )
     overflow = (overflow[0], overflow[1] + slot_ovf)
     proper = jnp.zeros(B, dtype=bool)
@@ -792,6 +810,7 @@ def _topn_tail(
     ares = banded_sw_align(
         q_s, len_s, corr_s, matrices, gopen_q, gopen_r, gext, strand_s,
         band=band, mode="glocal" if end_to_end else "local",
+        simple=simple_matrix,
     )
     overflow = (
         overflow[0],
@@ -870,6 +889,7 @@ def map_step_paired(
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
     canonical=False, cs_axis=None,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
@@ -903,6 +923,7 @@ def map_step_paired(
         corr_start, strand, cand_valid, n_cands, overflow,
         band=band, slot_cap=slot_cap, diag_bin_log2=diag_bin_log2,
         sw_backend=sw_backend, end_to_end=end_to_end,
+        simple_matrix=simple_matrix,
     )
 
 
@@ -979,9 +1000,11 @@ class Mapper:
         self._packed_offsets = packed is not None
         if packed is not None:
             self._off_dev = packed
-        self._matrices = jnp.asarray(
-            np.stack([score_matrix(self.cfg, 0), score_matrix(self.cfg, 1)])
-        )
+        mats_np = np.stack([score_matrix(self.cfg, 0), score_matrix(self.cfg, 1)])
+        self._matrices = jnp.asarray(mats_np)
+        from nextgenmap_tpu.ops.scoring import matrices_are_simple
+
+        self._simple = matrices_are_simple(mats_np)
         self.band = self.cfg.corridor_for(self.read_len)
         n_pos = self._pos_dev.shape[0] // (2 if self.cfg.bs_mapping else 1)
         self.hit_cap = self.cfg.resolved_read_hits(n_pos, self.read_len)
@@ -1055,6 +1078,9 @@ class Mapper:
         self._packed_offsets = False
         self._matrices_np = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
         self._matrices = jnp.asarray(self._matrices_np)
+        from nextgenmap_tpu.ops.scoring import matrices_are_simple
+
+        self._simple = matrices_are_simple(self._matrices_np)
         self.band = cfg.corridor_for(self.read_len)
         # per-shard hit cap sized to per-shard index density — the point of
         # sharding: S shards each see ~1/S of the hits (dual: the padded
@@ -1223,6 +1249,7 @@ class Mapper:
             end_to_end=cfg.end_to_end,
             packed_offsets=self._packed_offsets,
             canonical=self._canonical,
+            simple_matrix=self._simple,
         )
 
     # reads past this length run as TWO programs (cs_cands_step +

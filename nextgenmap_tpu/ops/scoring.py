@@ -43,3 +43,23 @@ def score_matrix(cfg: NgmConfig, strand: int = 0) -> np.ndarray:
         # (score 0), slam_seq=2 rewards as a discounted match.
         m[CODE_C, CODE_T] = 0 if cfg.slam_seq == 1 else max(1, cfg.match_bonus - 1)
     return m
+
+
+def matrices_are_simple(mats: np.ndarray) -> bool:
+    """True when every matrix is pure match/mismatch: S[c,c] = match for
+    ACGT, every other entry one shared mismatch value.
+
+    The DEFAULT mode (no bisulfite/SLAM asymmetry) always qualifies, and the
+    SW kernels then compute substitution scores with a single equality
+    compare instead of 5 per-code coefficient planes (~10 fewer VPU ops per
+    DP cell — the dominant term of the measured op mix, BASELINE.md roofline
+    row).  Checked once on the host; a static jit flag selects the path.
+    """
+    flat = np.asarray(mats).reshape(-1, 8, 8)
+    m0 = flat[0]
+    match = m0[0, 0]
+    mis = m0[0, 1]
+    want = np.full((8, 8), mis, dtype=m0.dtype)
+    for c in range(4):
+        want[c, c] = match
+    return all(np.array_equal(m, want) for m in flat)

@@ -43,26 +43,30 @@ def _round8(x: int) -> int:
 
 
 def _kernel(mats_ref, gaps_ref, qT_ref, corrT_ref, qlen_ref, msel_ref,
-            score_ref, ei_ref, eo_ref, qc_ref, *, L, L_pad, W, n_mats):
+            score_ref, ei_ref, eo_ref, qc_ref, *, L, L_pad, W, n_mats,
+            simple=False):
     R = _R
     gq = gaps_ref[0]
     gr = gaps_ref[1]
     ge = gaps_ref[2]
 
-    q = qT_ref[:, :].astype(jnp.int32)          # [L_pad, R]
     msel = msel_ref[0, 0, :].astype(jnp.int32)   # [R]
 
-    # substitution coefficient planes: qc[c][i, r] = S[msel_r, q[i,r], c]
-    for c in range(5):
-        plane = jnp.zeros((L_pad, R), jnp.int32)
-        for m in range(n_mats):
-            for a in range(5):
-                coef = mats_ref[m * 64 + a * 8 + c]
-                sel = q == a if n_mats == 1 else (
-                    (q == a) & (msel[None, :] == m)
-                )
-                plane = plane + jnp.where(sel, coef, 0)
-        qc_ref[c, :, :] = plane
+    if not simple:
+        q = qT_ref[:, :].astype(jnp.int32)       # [L_pad, R]
+        # substitution coefficient planes: qc[c][i, r] = S[msel_r, q[i,r], c]
+        for c in range(5):
+            plane = jnp.zeros((L_pad, R), jnp.int32)
+            for m in range(n_mats):
+                for a in range(5):
+                    coef = mats_ref[m * 64 + a * 8 + c]
+                    sel = q == a if n_mats == 1 else (
+                        (q == a) & (msel[None, :] == m)
+                    )
+                    plane = plane + jnp.where(sel, coef, 0)
+            qc_ref[c, :, :] = plane
+    mb = mats_ref[0]                             # S[0,0] (simple fast path)
+    mis = mats_ref[1]                            # S[0,1]
 
     off = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
     offext = off * ge
@@ -73,14 +77,26 @@ def _kernel(mats_ref, gaps_ref, qT_ref, corrT_ref, qlen_ref, msel_ref,
         h, e, best, bi, bo = carry
         base = pl.multiple_of(j * 8, 8)
         w_win = corrT_ref[pl.ds(base, W + 8), :].astype(jnp.int32)  # [W+8, R]
-        qc_blk = [qc_ref[c, pl.ds(base, 8), :] for c in range(5)]   # [8, R] x5
+        if simple:
+            # match/mismatch matrix (scoring.matrices_are_simple): one
+            # equality compare replaces the 5-plane combine
+            q_blk = qT_ref[pl.ds(base, 8), :].astype(jnp.int32)     # [8, R]
+        else:
+            qc_blk = [qc_ref[c, pl.ds(base, 8), :] for c in range(5)]
 
         for t in range(8):
             rw = jax.lax.slice(w_win, (t, 0), (t + W, R))           # [W, R]
-            sub = jnp.zeros((W, R), jnp.int32)
-            for c in range(5):
-                qrow = jax.lax.slice(qc_blk[c], (t, 0), (t + 1, R)) # [1, R]
-                sub = sub + jnp.where(rw == c, jnp.broadcast_to(qrow, (W, R)), 0)
+            if simple:
+                qrow = jax.lax.slice(q_blk, (t, 0), (t + 1, R))     # [1, R]
+                hit = (rw == jnp.broadcast_to(qrow, (W, R))) & (qrow < 4)
+                sub = jnp.where(hit, mb, mis)
+            else:
+                sub = jnp.zeros((W, R), jnp.int32)
+                for c in range(5):
+                    qrow = jax.lax.slice(qc_blk[c], (t, 0), (t + 1, R))
+                    sub = sub + jnp.where(
+                        rw == c, jnp.broadcast_to(qrow, (W, R)), 0
+                    )
 
             hd = h + sub
             h_up = jnp.concatenate([h[1:], neg_row], axis=0)
@@ -125,7 +141,7 @@ def _kernel(mats_ref, gaps_ref, qT_ref, corrT_ref, qlen_ref, msel_ref,
     eo_ref[0, 0, :] = bo[0]
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "simple"))
 def banded_sw_score_pallas(
     query: jax.Array,   # [S, L] codes
     qlen: jax.Array,    # [S] int32
@@ -138,6 +154,7 @@ def banded_sw_score_pallas(
     *,
     band: int,
     interpret: bool = False,
+    simple: bool = False,
 ) -> ScoreResult:
     """Drop-in for ops/sw_ref.banded_sw_score; W (=band) must be a multiple
     of 8 and <= 64 sublane-shift span (W < 64 doubling steps cover it)."""
@@ -188,11 +205,14 @@ def banded_sw_score_pallas(
             pl.BlockSpec((1, 1, _R), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
-        scratch_shapes=[pltpu.VMEM((5, L_pad, _R), jnp.int32)],
+        # the coefficient-plane scratch is only needed on the general path
+        scratch_shapes=[pltpu.VMEM(
+            (1, 8, _R) if simple else (5, L_pad, _R), jnp.int32
+        )],
     )
     score, ei, eo = pl.pallas_call(
         functools.partial(
-            _kernel, L=L, L_pad=L_pad, W=W, n_mats=n_mats
+            _kernel, L=L, L_pad=L_pad, W=W, n_mats=n_mats, simple=simple
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, 1, _R), jnp.int32)] * 3,

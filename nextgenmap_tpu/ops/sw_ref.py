@@ -77,7 +77,7 @@ class AlignResult(NamedTuple):
 
 
 
-def _sub_scores(flat, n_mats, moff, qi, rw):
+def _sub_scores(flat, n_mats, moff, qi, rw, simple=False):
     """Substitution scores without a gather.
 
     TPU gathers are element-serial, and the naive `flat[qi*8 + rw]` lookup
@@ -86,7 +86,17 @@ def _sub_scores(flat, n_mats, moff, qi, rw):
     lookup is instead built from vector compares/selects: per row compute
     Rq[c] = S[msel, qi, c] with M*25 scalar-coefficient selects on [B], then
     combine over the ref codes with 5 selects on [B, W].
+
+    simple=True (static; scoring.matrices_are_simple) is the DEFAULT-mode
+    fast path: every matrix is match-on-diagonal/one-mismatch-elsewhere, so
+    the whole lookup is ONE equality compare + select — ~10 fewer VPU ops
+    per DP cell than the 5-plane combine.
     """
+    if simple:
+        match = flat[0]       # S[0, 0]
+        mis = flat[1]         # S[0, 1] — shared by every non-diagonal entry
+        hit = (rw == qi[:, None]) & (qi < 4)[:, None]
+        return jnp.where(hit, match, mis)
     sub = jnp.zeros(rw.shape, jnp.int32)
     for c in range(5):
         rqc = jnp.zeros(qi.shape, jnp.int32)
@@ -142,7 +152,7 @@ def _dirs(h, hd, e, f, e_ext_term, e_open_term, f_prev_ext, f_prev_open, mbit,
     return d | e_bit | f_bit | m_bit
 
 
-@partial(jax.jit, static_argnames=("band", "mode"))
+@partial(jax.jit, static_argnames=("band", "mode", "simple"))
 def banded_sw_score(
     query: jax.Array,   # [B, L] int32/uint8 codes
     qlen: jax.Array,    # [B] int32
@@ -155,6 +165,7 @@ def banded_sw_score(
     *,
     band: int,
     mode: str = "local",
+    simple: bool = False,
 ) -> ScoreResult:
     """Score-only banded SW over a batch. ~L sequential steps of [B, W] VPU work.
 
@@ -176,7 +187,7 @@ def banded_sw_score(
         h_prev, e_prev, best, bi, bo = carry
         qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]          # [B]
         rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)                # [B, W]
-        sub = _sub_scores(flat, n_mats, moff, qi, rw)
+        sub = _sub_scores(flat, n_mats, moff, qi, rw, simple)
         h, e, *_ = _row_step(sub, h_prev, e_prev, gopen_q, gopen_r, gext, local)
         valid = ((i < qlen) if local else (i == qlen - 1))[:, None]
         h_m = jnp.where(valid, h, NEG)
@@ -195,7 +206,7 @@ def banded_sw_score(
     return ScoreResult(best, bi, bo)
 
 
-@partial(jax.jit, static_argnames=("band", "max_ops", "mode"))
+@partial(jax.jit, static_argnames=("band", "max_ops", "mode", "simple"))
 def banded_sw_align(
     query: jax.Array,
     qlen: jax.Array,
@@ -209,6 +220,7 @@ def banded_sw_align(
     band: int,
     max_ops: int = 0,
     mode: str = "local",
+    simple: bool = False,
 ) -> AlignResult:
     """Banded SW with full traceback: direction matrix + vectorized backwalk.
 
@@ -232,7 +244,7 @@ def banded_sw_align(
         h_prev, e_prev, best, bi, bo = carry
         qi = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]
         rw = jax.lax.dynamic_slice_in_dim(r, i, W, axis=1)
-        sub = _sub_scores(flat, n_mats, moff, qi, rw)
+        sub = _sub_scores(flat, n_mats, moff, qi, rw, simple)
         B_, W_ = sub.shape
         hd = h_prev + sub
         h_up = jnp.concatenate([h_prev[:, 1:], jnp.full((B_, 1), NEG, jnp.int32)], axis=1)

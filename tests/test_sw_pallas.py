@@ -75,3 +75,46 @@ def test_pallas_score_asymmetric_gaps():
     lens = np.full(S, L, np.int32)
     msel = rng.integers(0, 2, S).astype(np.int32)
     _assert_equal(*_run_both(q, lens, r, mats, msel, gaps=(25, 30, 12)))
+
+
+def test_pallas_simple_matrix_fast_path():
+    """simple=True (match/mismatch matrix, the default mode) must be
+    bit-identical to the general coefficient-plane path in BOTH kernels."""
+    rng = np.random.default_rng(7)
+    S, L = 16, 100
+    cfg = NgmConfig()
+    mats = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
+    from nextgenmap_tpu.ops.scoring import matrices_are_simple
+
+    assert matrices_are_simple(mats)
+    # bisulfite matrices are NOT simple (asymmetric tolerance entry)
+    assert not matrices_are_simple(
+        np.stack([score_matrix(cfg.replace(bs_mapping=True), 0),
+                  score_matrix(cfg.replace(bs_mapping=True), 1)])
+    )
+    q = rng.integers(0, 5, (S, L)).astype(np.uint8)  # include N codes
+    r = rng.integers(0, 5, (S, L + W)).astype(np.uint8)
+    for i in range(0, S, 2):
+        o = int(rng.integers(0, W))
+        r[i, o : o + L] = q[i]
+    lens = rng.integers(20, L + 1, S).astype(np.int32)
+    msel = rng.integers(0, 2, S).astype(np.int32)
+    args = (
+        jnp.asarray(q), jnp.asarray(lens, jnp.int32), jnp.asarray(r),
+        jnp.asarray(mats), jnp.int32(20), jnp.int32(20), jnp.int32(20),
+        jnp.asarray(msel, jnp.int32),
+    )
+    ref = banded_sw_score(*args, band=W)
+    ref_s = banded_sw_score(*args, band=W, simple=True)
+    pal_s = banded_sw_score_pallas(*args, band=W, interpret=True, simple=True)
+    _assert_equal(ref, ref_s)
+    _assert_equal(ref, pal_s)
+
+    from nextgenmap_tpu.ops.sw_ref import banded_sw_align
+
+    al = banded_sw_align(*args, band=W)
+    al_s = banded_sw_align(*args, band=W, simple=True)
+    for f in al._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(al, f)), np.asarray(getattr(al_s, f)), f
+        )

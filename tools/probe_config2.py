@@ -43,7 +43,7 @@ def main() -> None:
     from nextgenmap_tpu.io.simulate import random_genome, simulate_reads_fast
     from nextgenmap_tpu.models.mapper import map_step
     from nextgenmap_tpu.ops.candidate import _OWNERS_MODE, pack_offsets
-    from nextgenmap_tpu.ops.scoring import score_matrix
+    from nextgenmap_tpu.ops.scoring import matrices_are_simple, score_matrix
 
     cfg = NgmConfig()
     if FORCE_H:
@@ -78,6 +78,7 @@ def main() -> None:
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
         packed_offsets=packed_offsets, canonical=True,
         sw_backend=cfg.sw_backend,
+        simple_matrix=True,
     )
     scal = (
         jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),

@@ -30,6 +30,7 @@ READ_LEN = int(os.environ.get("NGM_PROBE_L", 150))
 BATCH = int(os.environ.get("NGM_PROBE_B", 4096))
 N_BATCHES = int(os.environ.get("NGM_PROBE_N", 8))
 STAGE = os.environ.get("NGM_CS_STAGE", "search")
+FORCE_H = int(os.environ.get("NGM_PROBE_H", 0))
 
 
 def log(*a):
@@ -64,7 +65,7 @@ def main() -> None:
         g, BATCH * N_BATCHES, read_len=READ_LEN, snp_rate=0.02, seed=12
     )
     lens_d = jnp.full((BATCH,), READ_LEN, jnp.int32)
-    H = cfg.resolved_read_hits(int(pos_d.shape[0]), READ_LEN)
+    H = FORCE_H or cfg.resolved_read_hits(int(pos_d.shape[0]), READ_LEN)
     band = cfg.corridor_for(READ_LEN)
     log(f"stage={STAGE} H={H}")
     sens = jnp.float32(cfg.sensitivity)
@@ -139,7 +140,7 @@ def main() -> None:
     jax.block_until_ready(out)
     dt = time.time() - t0
     print(json.dumps({
-        "stage": STAGE,
+        "stage": STAGE, "H": H,
         "ms_per_batch": round(dt / N_BATCHES * 1e3, 2),
     }))
 

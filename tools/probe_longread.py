@@ -43,7 +43,7 @@ def main() -> None:
         cs_cands_step, map_step, map_step_from_cands,
     )
     from nextgenmap_tpu.ops.candidate import pack_offsets
-    from nextgenmap_tpu.ops.scoring import score_matrix
+    from nextgenmap_tpu.ops.scoring import matrices_are_simple, score_matrix
 
     cfg = NgmConfig()
     log(f"device: {jax.devices()[0].platform}  stage={STAGE}")
@@ -74,6 +74,7 @@ def main() -> None:
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
         packed_offsets=packed_offsets, canonical=True,
         sw_backend=cfg.sw_backend,
+        simple_matrix=True,
     )
     gq = jnp.int32(cfg.gap_read_penalty)
     gr = jnp.int32(cfg.gap_ref_penalty)
