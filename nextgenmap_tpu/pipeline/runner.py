@@ -101,11 +101,17 @@ def aligned_rows(codes: np.ndarray, lens: np.ndarray, read_len: int,
     """
     rc = np.where(codes < 4, 3 - codes.astype(np.int16), codes)[:, ::-1]
     aligned = np.where((strand == 1)[:, None], rc, codes).astype(np.uint8)
-    short = (lens < read_len) & (strand == 1)
-    for i in np.nonzero(short)[0]:
-        L = int(lens[i])
-        aligned[i, :L] = aligned[i, read_len - L:]
-        aligned[i, L:] = 4
+    short = np.nonzero((lens < read_len) & (strand == 1))[0]
+    if short.size:
+        # one vectorized take over the short subset (a per-row Python loop
+        # here would sit on the emitter path of mixed-length batches)
+        sub = aligned[short]
+        Ls = lens[short][:, None]
+        j = np.arange(read_len)[None, :]
+        src = np.minimum(j + (read_len - Ls), read_len - 1)
+        shifted = np.take_along_axis(sub, src, axis=1)
+        shifted[j >= Ls] = 4
+        aligned[short] = shifted
     return aligned
 
 
