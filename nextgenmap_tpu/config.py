@@ -143,28 +143,42 @@ class NgmConfig:
         slack = max(16, _round_up(int(read_len * 0.15), 8))
         return bucket_span + slack
 
-    def resolved_read_hits(self, n_positions: int, read_len: int) -> int:
+    def resolved_read_hits(self, n_positions: int, read_len: int,
+                           collapsed: bool | None = None) -> int:
         """Static per-read hit cap H (0 = derive from index density).
 
-        Expected CSR row length is positions/4^k; a read enumerates
+        Expected CSR row length is positions/buckets; a read enumerates
         kmers_per_read rows, each capped at max_kmer_fanout.  2x the
-        expectation covers repeat-rich loci; the [128, 512] clamp keeps the
-        compaction tensors lane-friendly.  Overflow is always counted
+        expectation covers repeat-rich loci; the clamp keeps the compaction
+        tensors lane-friendly.  Overflow is always counted
         (MappingStats.kmer_fanout_overflow), so a too-small H is visible,
         never silent.
+
+        collapsed (default: bs_mapping): the CT/GA-collapsed tables live in
+        an effective 3^k bucket space — ~42x denser rows at k=13 than the
+        4^k estimate.  Sizing H with 4^k there starves the SECOND (rc/GA)
+        table's k-mers wholesale once the fwd pass fills every slot (hits
+        compact in k-mer order), which silently unmapped every reverse
+        bisulfite read at >Mb genome scale (round-3 bug).
         """
         if self.max_read_hits:
             return self.max_read_hits
-        exp_row = n_positions / float(4 ** self.kmer)
+        if collapsed is None:
+            collapsed = self.bs_mapping
+        buckets = (3.0 if collapsed else 4.0) ** self.kmer
+        exp_row = n_positions / buckets
         # the cap covers BOTH strands (2x kmers_per_read lookups); 1.5x the
         # expected row length covers the Poisson tail (validated on a
-        # chr20-scale genome where 1.25x still overflowed).  The 2048
-        # ceiling bounds the [B, H, kmers] compaction tensors; if the
-        # estimate exceeds it (gigabase genome at k=13), raise k to 14 or
-        # shard the index — the overflow counters make the truncation loud
+        # chr20-scale genome where 1.25x still overflowed).  The ceiling
+        # bounds the compaction tensors; if the estimate exceeds it
+        # (gigabase genome at k=13), raise k to 14 or shard the index — the
+        # overflow counters make the truncation loud.  Collapsed tables get
+        # a higher ceiling: their denser rows are the norm, not a repeat
+        # pathology, and the sort-based compaction handles large H
+        ceil = 4608 if collapsed else 2048
         per_row = min(float(self.max_kmer_fanout), max(1.25, 1.5 * exp_row))
         est = 2 * self.kmers_per_read(read_len) * per_row
-        return max(128, min(2048, _round_up(int(est), 64)))
+        return max(128, min(ceil, _round_up(int(est), 64)))
 
     def kmers_per_read(self, read_len: int) -> int:
         return max(1, (read_len - self.kmer) // self.read_kmer_skip + 1)

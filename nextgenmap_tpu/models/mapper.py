@@ -1252,11 +1252,14 @@ class Mapper:
             simple_matrix=self._simple,
         )
 
-    # reads past this length run as TWO programs (cs_cands_step +
+    # Long reads can run as TWO programs (cs_cands_step +
     # map_step_*_from_cands, byte-identical to the fused step by the
-    # CandState invariant) instead of one: the fused L=1000 program is what
-    # crashed the sandbox's remote-compile helper (BASELINE.md round 2), and
-    # per-program size is the lever.  NGM_STAGED=always|never overrides.
+    # CandState invariant) instead of one.  Round 2's toolchain crashed
+    # compiling the fused L=1000 program (HTTP 500); round 3 measured the
+    # SAME shape compiling fine AND faster fused (58.1 vs 102.7 ms/batch at
+    # [512, 1000]), so the default is fused-first with an automatic staged
+    # FALLBACK when compilation of a long-read program fails.
+    # NGM_STAGED=always|never overrides.
     STAGED_READ_LEN = 512
 
     def _staged(self) -> bool:
@@ -1267,10 +1270,25 @@ class Mapper:
             return True
         if mode == "never":
             return False
-        return (
-            self.read_len > self.STAGED_READ_LEN
-            and jax.default_backend() == "tpu"
-        )
+        return getattr(self, "_staged_fallback", False)
+
+    def _long_read_guard(self, fn, staged_fn):
+        """Run fn(); if a long-read program fails to COMPILE (environmental
+        toolchain limits on giant programs), permanently switch this mapper
+        to the two-program staged path and retry."""
+        if self.read_len <= self.STAGED_READ_LEN:
+            return fn()
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            from nextgenmap_tpu.utils.logging import get_logger
+
+            get_logger("ngm-tpu.map").warning(
+                "fused long-read step failed to compile (%s); falling back "
+                "to the staged two-program path", str(e)[:200],
+            )
+            self._staged_fallback = True
+            return staged_fn()
 
     def _map_staged(self, codes, lengths, paired: bool, pair_args=()):
         cfg = self.cfg
@@ -1298,7 +1316,11 @@ class Mapper:
             return self._dp_single(*self._common_args(codes, lengths))
         if self._staged():
             return self._map_staged(codes, lengths, paired=False)
-        return map_step(*self._common_args(codes, lengths), **self._statics())
+        return self._long_read_guard(
+            lambda: map_step(*self._common_args(codes, lengths),
+                             **self._statics()),
+            lambda: self._map_staged(codes, lengths, paired=False),
+        )
 
     def map_batch_topn(self, codes: np.ndarray, lengths: np.ndarray) -> tuple:
         topn = min(self.cfg.topn, self.cfg.max_cmrs)
@@ -1359,6 +1381,11 @@ class Mapper:
         if self._staged():
             return self._map_staged(codes, lengths, paired=True,
                                     pair_args=pair_args)
-        return map_step_paired(
-            *self._common_args(codes, lengths), *pair_args, **self._statics(),
+        return self._long_read_guard(
+            lambda: map_step_paired(
+                *self._common_args(codes, lengths), *pair_args,
+                **self._statics(),
+            ),
+            lambda: self._map_staged(codes, lengths, paired=True,
+                                     pair_args=pair_args),
         )

@@ -111,6 +111,29 @@ def _slot_owners_dense(cum, o0, payload, H):
     return qid, pidx, pay_at
 
 
+def _slot_owners_dense2(cum, o0, payload, H):
+    """Slot ownership in TWO dense [B, H, Qt] passes (r3, vs classic dense's
+    ~5): pass 1 max-reduces the packed (q, payload) of eligible k-mers
+    (cum <= h; q ascending so max = last = the owner), pass 2 one-hot-sums
+    the owner's delta = o0 - cum, from which pidx = delta + h.  The per-q
+    cum/o0 combine happens once on [B, Qt] instead of per slot."""
+    B, Qt = cum.shape
+    harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    ge = harange[:, :, None] >= cum[:, None, :]          # [B, H, Qt]
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Qt), 1)
+    qp = q_iota * 2 + (payload if payload is not None else 0)
+    v1 = jnp.max(jnp.where(ge, qp[:, None, :], -1), axis=2)   # [B, H]
+    qid = v1 >> 1
+    pay_at = (v1 & 1) if payload is not None else None
+    delta = o0 - cum                                     # [B, Qt]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, Qt), 2) == qid[:, :, None]
+    )
+    delta_at = jnp.sum(jnp.where(onehot, delta[:, None, :], 0), axis=2)
+    pidx = delta_at + harange
+    return qid, pidx, pay_at
+
+
 def _slot_owners_sorted(cum, o0, payload, H):
     """Slot ownership via a rank-merge: two sorts, no scatters/gathers.
 
@@ -236,13 +259,19 @@ _OWNERS_MODE = _os.environ.get("NGM_OWNERS", "auto")
 def _slot_owners(cum, o0, payload, H, cnt):
     mode = _OWNERS_MODE
     if mode == "auto":
-        mode = "dense" if H <= _DENSE_H_MAX else "bisect"
+        # measured r3 on chip: dense wins below 256 (46.8 vs scatter 50.7
+        # vs bisect 116.4 ms full-step at config-2); above it the dense
+        # tensors collapse (72 s/batch at H=960, r2) and the rank-merge
+        # sort is the proven fallback
+        mode = "dense" if H <= _DENSE_H_MAX else "sorted"
     if mode == "bisect":
         return _slot_owners_bisect(cum, o0, payload, H)
     if mode == "scatter":
         return _slot_owners_scatter(cum, o0, payload, H, cnt)
     if mode == "dense":
         return _slot_owners_dense(cum, o0, payload, H)
+    if mode == "dense2":
+        return _slot_owners_dense2(cum, o0, payload, H)
     return _slot_owners_sorted(cum, o0, payload, H)
 
 
@@ -266,9 +295,15 @@ def _compact_hits(
 
     kmw = jnp.where(ok, km, 0)
     if table_split:
+        # INTERLEAVED layout (candidate_search_dual): odd k-mer columns are
+        # the rc pass and look up the second table.  Interleaving makes the
+        # H-cap truncation strand-FAIR: with the tables laid out
+        # [fwd | rc], an overflowing read lost its entire rc pass (slots
+        # fill in column order), which silently unmapped reverse bisulfite
+        # reads at dense-collapsed-row scales (round-3 bug).
         stride = offsets.shape[0] // 2
         sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, Qt), 1) >= table_split
+            jax.lax.broadcasted_iota(jnp.int32, (1, Qt), 1) & 1
         ).astype(jnp.int32)
         kmw = kmw + sel * stride
     if packed_offsets:
@@ -391,8 +426,11 @@ def candidate_search_dual(
     the second (GA-collapsed) CSR table in the concatenated `offsets`.
     """
     B, Q = km_f.shape
-    km = jnp.concatenate([km_f, km_r], axis=1)           # [B, 2Q]
-    ok = jnp.concatenate([ok_f, ok_r], axis=1)
+    # INTERLEAVE the strands (even cols fwd, odd cols rc) so the H-cap
+    # truncates both passes evenly — a [fwd | rc] concat dropped the whole
+    # rc pass of an overflowing read (slots fill in column order)
+    km = jnp.stack([km_f, km_r], axis=2).reshape(B, 2 * Q)
+    ok = jnp.stack([ok_f, ok_r], axis=2).reshape(B, 2 * Q)
 
     pos, qid, valid, fo, ho = _compact_hits(
         km, ok, offsets, positions, max_freq,
@@ -400,8 +438,8 @@ def candidate_search_dual(
         table_split=Q if dual_tables else 0,
         packed_offsets=packed_offsets,
     )
-    strand = (qid >= Q).astype(jnp.int32)                # [B, H]
-    qoff = jnp.where(strand == 1, qid - Q, qid) * stride
+    strand = qid & 1                                     # [B, H]
+    qoff = (qid >> 1) * stride
     diag = pos - qoff
     bucket = diag >> diag_bin_log2
     vote = strand * _STRAND_OFF + bucket + _BIAS

@@ -264,7 +264,13 @@ def banded_sw_align(
         # prefer open on tie)
         f_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), f[:, :-1]], axis=1)
         htmp_left = jnp.concatenate([jnp.full((B_, 1), NEG, jnp.int32), htmp[:, :-1]], axis=1)
-        mbit = (qi[:, None] == rw) & (qi[:, None] < 4)
+        # a "match" column is one whose substitution SCORE is positive, not
+        # raw base equality: bisulfite/SLAM-tolerated conversions (T over C
+        # scored +tol) must count toward identity or high-conversion reads
+        # fail the -i filter wholesale (the reference relaxes bs-mode
+        # identity the same way, ref:src/AlignmentBuffer.cpp ◆).  For the
+        # default matrix sub > 0 <=> exact ACGT equality, bit-identical.
+        mbit = sub > 0
         dirs = _dirs(h, hd, e, f, e_ext, e_open, f_left - gext,
                      htmp_left - gopen_r, mbit, local)
         valid = ((i < qlen) if local else (i == qlen - 1))[:, None]

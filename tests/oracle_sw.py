@@ -93,7 +93,10 @@ def banded_sw_oracle(query, qlen, ref, matrix, gopen_q, gopen_r, gext, band,
                     break
                 if src == 1:
                     ops.append(OP_M)
-                    if query[i] == ref[i + o] and query[i] < 4:
+                    # "match" = positively-scored column (counts tolerated
+                    # bisulfite/SLAM conversions; == exact equality for the
+                    # default matrix) — mirrors ops/sw_ref.py::_dirs
+                    if matrix[query[i], ref[i + o]] > 0:
                         matches += 1
                     else:
                         mismatches += 1

@@ -178,8 +178,8 @@ def test_slot_owners_variants_agree():
     import numpy as np
 
     from nextgenmap_tpu.ops.candidate import (
-        _slot_owners_bisect, _slot_owners_dense, _slot_owners_scatter,
-        _slot_owners_sorted,
+        _slot_owners_bisect, _slot_owners_dense, _slot_owners_dense2,
+        _slot_owners_scatter, _slot_owners_sorted,
     )
 
     rng = np.random.default_rng(71)
@@ -195,7 +195,7 @@ def test_slot_owners_variants_agree():
         total = cum[:, -1] + cnt[:, -1]
         valid = np.arange(H)[None, :] < np.minimum(total, H)[:, None]
         for other in (_slot_owners_sorted, _slot_owners_scatter,
-                      _slot_owners_bisect):
+                      _slot_owners_bisect, _slot_owners_dense2):
             if other is _slot_owners_scatter:
                 qs, ps, fs = other(cum, o0, flip, H, cnt)
             else:
