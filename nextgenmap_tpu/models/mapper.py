@@ -679,6 +679,74 @@ def map_step_paired_from_cands(
     )
 
 
+@partial(jax.jit, static_argnames=_STATICS + ("paired", "read_len"))
+def map_step_sharded_scan(
+    genome_s, off_s, pos_s, base, core_lo, core_hi,
+    reads, lengths, matrices, gopen_q, gopen_r, gext,
+    sensitivity, max_freq, min_identity, min_residues,
+    min_insert=None, max_insert=None, pair_cutoff=None,
+    *, paired=False, read_len=0,
+    k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
+    canonical=False, cs_axis=None,
+) -> MapResult:
+    """The ENTIRE sequential index-shard loop as ONE program: lax.scan over
+    the stacked shard arrays for phase 1 (per-shard candidate lists), a
+    cross-shard max for the global adaptive-threshold floor, a second scan
+    for phase 2 (score/traceback per shard), and the deterministic merge —
+    all inside a single jit.
+
+    Why one program: the axon executor charges ~39 ms to EVERY dispatch of a
+    different program after a big one has run in the process (measured
+    round 3, tools/probe_contamination.py); the host-driven shard loop pays
+    that 2S times per batch, which is most of where round-2's 13.5k reads/s
+    sharded rate went.  Byte-identical to the host loop by construction
+    (same phase functions, same merge)."""
+    statics = dict(
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+        bs_cutoff=bs_cutoff, sw_backend=sw_backend, end_to_end=end_to_end,
+        packed_offsets=packed_offsets, simple_matrix=simple_matrix,
+        canonical=canonical, cs_axis=cs_axis,
+    )
+
+    def cs_body(carry, xs):
+        g, o, p = xs
+        c = cs_cands_step(g, o, p, reads, lengths, sensitivity, max_freq,
+                          **statics)
+        return carry, c
+
+    _, cands = jax.lax.scan(cs_body, 0, (genome_s, off_s, pos_s))
+    best_g = jnp.max(cands.best, axis=0)
+
+    def tail_body(carry, xs):
+        g, c = xs
+        if paired:
+            r = map_step_paired_from_cands(
+                g, reads, lengths, matrices, gopen_q, gopen_r, gext,
+                sensitivity, min_identity, min_residues,
+                min_insert, max_insert, pair_cutoff, c, best_g, **statics,
+            )
+        else:
+            r = map_step_from_cands(
+                g, reads, lengths, matrices, gopen_q, gopen_r, gext,
+                sensitivity, min_identity, min_residues, c, best_g,
+                **statics,
+            )
+        return carry, r
+
+    _, stk = jax.lax.scan(tail_body, 0, (genome_s, cands))
+    # runtime import: parallel.index_shard imports this module (MapResult)
+    from nextgenmap_tpu.parallel.index_shard import merge_sharded_results
+
+    return merge_sharded_results(
+        stk, base, core_lo, core_hi, paired=paired, read_len=read_len,
+    )
+
+
 @partial(jax.jit, static_argnames=_STATICS + ("topn",))
 def map_step_topn_from_cands(
     genome, reads, lengths, matrices, gopen_q, gopen_r, gext,
@@ -1145,15 +1213,16 @@ class Mapper:
             )
             self._shard_args = None
         elif self.n_devices == 1:
-            # per-shard device arrays share one padded shape -> ONE compile
-            self._shard_args = [
-                (
-                    jax.device_put(jnp.asarray(sidx.genome[s])),
-                    jax.device_put(jnp.asarray(sidx.offsets[s])),
-                    jax.device_put(jnp.asarray(sidx.positions[s])),
-                )
-                for s in range(S)
-            ]
+            # stacked shard arrays: the whole sequential loop runs as ONE
+            # scan program (map_step_sharded_scan) — per-shard rows for the
+            # topn / host-loop paths are sliced lazily (_shard_list)
+            self._shard_stack = (
+                jax.device_put(jnp.asarray(sidx.genome)),
+                jax.device_put(jnp.asarray(sidx.offsets)),
+                jax.device_put(jnp.asarray(sidx.positions)),
+            )
+            self._shard_args = "seq"   # sentinel: sequential one-device mode
+            self._shard_list_cache = None
         else:
             raise ValueError(
                 f"index_shards={S} needs 1 device (sequential) or a device "
@@ -1193,17 +1262,27 @@ class Mapper:
         if self._shard_args is None:  # mesh path
             fn = self._ish_paired if paired else self._ish_single
             return fn(*self._ish_args, reads, lens, *scalars, *pair_args)
-        # SINGLE-PASS sequential path: phase 1 runs the full CS once per
-        # shard and KEEPS the candidate lists; phase 2 re-gates them by the
-        # cross-shard best and runs score+traceback only — round 2 paid two
-        # full CS passes per shard (cs_best_step + map_step) and CS
-        # dominates the sharded step (~8x device work/read at S=4)
+        # SEQUENTIAL path (one device): by default the WHOLE loop — phase-1
+        # CS per shard, cross-shard best, phase-2 tails, merge — runs as ONE
+        # scan program (map_step_sharded_scan): the axon executor charges
+        # ~39 ms to every dispatch of a different program after a big one
+        # has run (probe_contamination), and the host-driven loop paid that
+        # 2S times per batch.  NGM_SHARD_LOOP=host keeps the old loop for
+        # A/B and as a fallback if the fused scan program fails to compile.
+        import os as _os
+
+        if _os.environ.get("NGM_SHARD_LOOP") != "host":
+            return map_step_sharded_scan(
+                *self._shard_stack, self._base, self._clo, self._chi,
+                reads, lens, *scalars, *pair_args,
+                paired=paired, read_len=self.read_len, **self._statics(),
+            )
         sens = jnp.float32(cfg.sensitivity)
         mf = jnp.int32(cfg.max_kmer_freq)
         statics = self._statics()
         cands = [
             cs_cands_step(g, o, p, reads, lens, sens, mf, **statics)
-            for (g, o, p) in self._shard_args
+            for (g, o, p) in self._shard_list()
         ]
         best = jnp.max(jnp.stack([c.best for c in cands]), axis=0)
         step = map_step_paired_from_cands if paired else map_step_from_cands
@@ -1212,7 +1291,7 @@ class Mapper:
             step(g, reads, lens, scalars[0], scalars[1], scalars[2],
                  scalars[3], scalars[4], scalars[6], scalars[7],
                  *pair_args, c, best, **statics)
-            for (g, _, _), c in zip(self._shard_args, cands)
+            for (g, _, _), c in zip(self._shard_list(), cands)
         ]
         stk = MapResult(*[
             jnp.stack([getattr(r, f) for r in results])
@@ -1222,6 +1301,16 @@ class Mapper:
             stk, self._base, self._clo, self._chi,
             paired=paired, read_len=self.read_len,
         )
+
+    def _shard_list(self):
+        """Per-shard (genome, offsets, positions) device rows for the topn
+        and host-loop paths (sliced lazily from the stacked arrays)."""
+        if self._shard_list_cache is None:
+            g, o, p = self._shard_stack
+            self._shard_list_cache = [
+                (g[s], o[s], p[s]) for s in range(g.shape[0])
+            ]
+        return self._shard_list_cache
 
     def _common_args(self, codes, lengths):
         cfg = self.cfg
@@ -1335,7 +1424,7 @@ class Mapper:
             statics = self._statics()
             cands = [
                 cs_cands_step(g, o, p, reads, lens, sens, mf, **statics)
-                for (g, o, p) in self._shard_args
+                for (g, o, p) in self._shard_list()
             ]
             best = jnp.max(jnp.stack([c.best for c in cands]), axis=0)
             results = [
@@ -1348,7 +1437,7 @@ class Mapper:
                     jnp.float32(cfg.min_residues),
                     c, best, topn=topn, **statics,
                 )
-                for (g, _, _), c in zip(self._shard_args, cands)
+                for (g, _, _), c in zip(self._shard_list(), cands)
             ]                                  # [S] of R-tuples of MapResult
             stk = MapResult(*[
                 jnp.stack([

@@ -1,0 +1,93 @@
+"""Sequential index-shard loop throughput: ONE scan program vs host loop.
+
+Round 2 measured 13.5k reads/s for the gigabase sequential shard loop
+(~8x device work/read at S=4 was the explanation).  Round 3 found the axon
+executor charges ~39 ms per dispatch of a different program after a big one
+runs (probe_contamination) — the host loop pays 2S such dispatches per
+batch.  map_step_sharded_scan fuses the whole loop into one program.
+
+  NGM_SHARD_LOOP=host|scan  (scan = default)
+
+Runs the PRODUCT Mapper path at chr20-like scale with S=4 shards.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GENOME_SIZE = int(os.environ.get("NGM_PROBE_G", 64_000_000))
+READ_LEN = int(os.environ.get("NGM_PROBE_L", 150))
+BATCH = int(os.environ.get("NGM_PROBE_B", 4096))
+N_BATCHES = int(os.environ.get("NGM_PROBE_N", 6))
+SHARDS = int(os.environ.get("NGM_PROBE_S", 4))
+MODE = os.environ.get("NGM_SHARD_LOOP", "scan")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from nextgenmap_tpu.config import NgmConfig
+    from nextgenmap_tpu.index.kmer_index import KmerIndex
+    from nextgenmap_tpu.io.simulate import random_genome, simulate_reads_fast
+    from nextgenmap_tpu.models.mapper import Mapper
+
+    cfg = NgmConfig(index_shards=SHARDS, skip_save=True)
+    t0 = time.time()
+    g = random_genome(GENOME_SIZE, seed=31)
+    idx = KmerIndex.build(g, k=cfg.kmer, skip=cfg.kmer_skip,
+                          max_freq=cfg.max_kmer_freq, canonical=False)
+    log(f"host index: {time.time()-t0:.0f}s")
+    codes, truth_pos, truth_strand = simulate_reads_fast(
+        g, BATCH * N_BATCHES, read_len=READ_LEN, snp_rate=0.02, seed=32
+    )
+    lens = np.full(BATCH, READ_LEN, np.int32)
+
+    class _G:
+        pass
+
+    gobj = _G()
+    gobj.codes = g
+    t0 = time.time()
+    mapper = Mapper(cfg, gobj, READ_LEN, index=idx)
+    log(f"mapper init (shard split + device put): {time.time()-t0:.0f}s  "
+        f"H={mapper.hit_cap}")
+
+    t0 = time.time()
+    first = mapper.map_batch(codes[:BATCH], lens)
+    jax.block_until_ready(first)
+    log(f"compile+first: {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    results = [
+        mapper.map_batch(codes[b * BATCH:(b + 1) * BATCH], lens)
+        for b in range(N_BATCHES)
+    ]
+    jax.block_until_ready(results)
+    dt = time.time() - t0
+
+    r0 = results[0]
+    p = np.asarray(r0.pos).astype(np.int64)
+    ok = int((
+        np.asarray(r0.mapped)
+        & (np.abs(p - truth_pos[:BATCH]) <= 5)
+        & (np.asarray(r0.strand) == truth_strand[:BATCH])
+    ).sum())
+    print(json.dumps({
+        "mode": MODE, "shards": SHARDS,
+        "ms_per_batch": round(dt / N_BATCHES * 1e3, 2),
+        "reads_per_sec": round(BATCH * N_BATCHES / dt, 1),
+        "acc_first_batch": f"{ok}/{BATCH}",
+    }))
+
+
+if __name__ == "__main__":
+    main()
