@@ -172,3 +172,48 @@ def test_shard_csr_native_matches_numpy(setup):
         native._LIB, native._TRIED = old
     for f in ("genome", "offsets", "positions", "base", "core_lo", "core_hi"):
         assert np.array_equal(getattr(a, f), getattr(b, f)), f
+
+def test_sharded_scan_matches_mesh_and_single(setup):
+    """map_step_sharded_scan (the ONE-program sequential loop) must equal
+    both the global-index run and the mesh path, field for field."""
+    from nextgenmap_tpu.models.mapper import map_step_sharded_scan
+
+    s = setup
+    single = map_step(*se_args(s), **s["statics"])
+    halo = ShardedIndex.halo_for(CFG, 100, paired=False)
+    sidx = ShardedIndex.build(s["idx"], s["g"], 3, halo)
+    args = se_args(s)
+    scan = map_step_sharded_scan(
+        jnp.asarray(sidx.genome), jnp.asarray(sidx.offsets),
+        jnp.asarray(sidx.positions), jnp.asarray(sidx.base),
+        jnp.asarray(sidx.core_lo), jnp.asarray(sidx.core_hi),
+        *args[3:], paired=False, read_len=100, **s["statics"],
+    )
+    assert np.array_equal(np.asarray(single.mapped), np.asarray(scan.mapped))
+    assert np.array_equal(np.asarray(single.pos),
+                          np.asarray(scan.pos).astype(np.int64))
+    assert np.array_equal(np.asarray(single.strand), np.asarray(scan.strand))
+    assert np.array_equal(np.asarray(single.score), np.asarray(scan.score))
+    assert np.array_equal(np.asarray(single.ops), np.asarray(scan.ops))
+    assert np.array_equal(np.asarray(single.mapq), np.asarray(scan.mapq))
+
+
+def test_sharded_scan_paired_matches_single(setup):
+    from nextgenmap_tpu.models.mapper import map_step_sharded_scan
+
+    s = setup
+    single = map_step_paired(*pe_args(s), **s["statics"])
+    halo = ShardedIndex.halo_for(CFG, 100, paired=True)
+    sidx = ShardedIndex.build(s["idx"], s["g"], 4, halo)
+    args = pe_args(s)
+    scan = map_step_sharded_scan(
+        jnp.asarray(sidx.genome), jnp.asarray(sidx.offsets),
+        jnp.asarray(sidx.positions), jnp.asarray(sidx.base),
+        jnp.asarray(sidx.core_lo), jnp.asarray(sidx.core_hi),
+        *args[3:], paired=True, read_len=100, **s["statics"],
+    )
+    assert np.array_equal(np.asarray(single.mapped), np.asarray(scan.mapped))
+    assert np.array_equal(np.asarray(single.pos),
+                          np.asarray(scan.pos).astype(np.int64))
+    assert np.array_equal(np.asarray(single.proper), np.asarray(scan.proper))
+    assert np.array_equal(np.asarray(single.score), np.asarray(scan.score))
