@@ -134,6 +134,41 @@ def _slot_owners_dense2(cum, o0, payload, H):
     return qid, pidx, pay_at
 
 
+def _slot_owners_dense1(cum, o0, payload, H, transposed=False):
+    """Slot ownership in ONE dense pass + flat [B, H] gathers (round 3).
+
+    dense resolves ownership with ~5 fused [B, H, Qt] compare/one-hot passes
+    and dense2 with two; both re-scan the dense tensor to extract the
+    owner's delta = o0 - cum by one-hot sum.  But the max-reduce that finds
+    the owner (qp = q*2+payload is increasing in q, so max over eligible
+    q == last eligible q == dense's sum(ge)-1, including cnt==0 ties)
+    already yields qid — and delta/payload for H slots are then ONE flat
+    bandwidth-bound element gather (~35 us/1M elements, BASELINE.md round-2
+    correction), not another dense pass.  Unlike bisect there is no
+    serialized gather chain: one dense pass, one gather, done.
+
+    transposed=True lays the dense tensor out [B, Qt, H] (reduce over the
+    MIDDLE axis, H minor): the VPU accumulates whole 128-lane rows instead
+    of cross-lane-reducing the (padded) Qt minor axis.
+    """
+    B, Qt = cum.shape
+    harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Qt), 1)
+    qp = q_iota * 2 + (payload if payload is not None else 0)
+    if transposed:
+        ge = cum[:, :, None] <= harange[:, None, :]          # [B, Qt, H]
+        v1 = jnp.max(jnp.where(ge, qp[:, :, None], -1), axis=1)
+    else:
+        ge = harange[:, :, None] >= cum[:, None, :]          # [B, H, Qt]
+        v1 = jnp.max(jnp.where(ge, qp[:, None, :], -1), axis=2)
+    qid = v1 >> 1                     # cum[0] == 0 => always >= 0
+    pay_at = (v1 & 1) if payload is not None else None
+    rowoff = jax.lax.broadcasted_iota(jnp.int32, (B, H), 0) * Qt
+    delta = (o0 - cum).reshape(-1)
+    pidx = delta[(rowoff + qid).reshape(-1)].reshape(B, H) + harange
+    return qid, pidx, pay_at
+
+
 def _slot_owners_sorted(cum, o0, payload, H):
     """Slot ownership via a rank-merge: two sorts, no scatters/gathers.
 
@@ -272,6 +307,10 @@ def _slot_owners(cum, o0, payload, H, cnt):
         return _slot_owners_dense(cum, o0, payload, H)
     if mode == "dense2":
         return _slot_owners_dense2(cum, o0, payload, H)
+    if mode == "dense1":
+        return _slot_owners_dense1(cum, o0, payload, H)
+    if mode == "dense1t":
+        return _slot_owners_dense1(cum, o0, payload, H, transposed=True)
     return _slot_owners_sorted(cum, o0, payload, H)
 
 

@@ -177,10 +177,14 @@ def test_slot_owners_variants_agree():
     """Rank-merge and scatter-fill ownership == dense compare-sum, exactly."""
     import numpy as np
 
+    from functools import partial
+
     from nextgenmap_tpu.ops.candidate import (
-        _slot_owners_bisect, _slot_owners_dense, _slot_owners_dense2,
-        _slot_owners_scatter, _slot_owners_sorted,
+        _slot_owners_bisect, _slot_owners_dense, _slot_owners_dense1,
+        _slot_owners_dense2, _slot_owners_scatter, _slot_owners_sorted,
     )
+
+    _dense1t = partial(_slot_owners_dense1, transposed=True)
 
     rng = np.random.default_rng(71)
     for trial in range(4):
@@ -195,7 +199,8 @@ def test_slot_owners_variants_agree():
         total = cum[:, -1] + cnt[:, -1]
         valid = np.arange(H)[None, :] < np.minimum(total, H)[:, None]
         for other in (_slot_owners_sorted, _slot_owners_scatter,
-                      _slot_owners_bisect, _slot_owners_dense2):
+                      _slot_owners_bisect, _slot_owners_dense2,
+                      _slot_owners_dense1, _dense1t):
             if other is _slot_owners_scatter:
                 qs, ps, fs = other(cum, o0, flip, H, cnt)
             else:
