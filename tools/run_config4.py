@@ -109,7 +109,11 @@ def main():
     if MODE in ("divergent", "bs"):
         args += ["-s", "0.5"]
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # APPEND to PYTHONPATH: the axon TPU plugin registers via an existing
+    # PYTHONPATH entry (/root/.axon_site); overwriting it silently drops the
+    # chip backend ("Backend 'axon' is not in the list of known backends")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.time()
     p = subprocess.run(args, env=env, capture_output=True, text=True,
                        timeout=int(os.environ.get("NGM_C4_TIMEOUT", 5400)))
