@@ -185,7 +185,7 @@ def _candidates(
         cand.cmr_overflow,
     )
     return (corr_start, strand, cand_valid, cs_score, n_cands, rc,
-            cand.best_score, overflow)
+            cand.best_score, overflow, cand.extra_score)
 
 
 def _score_candidates(
@@ -500,7 +500,7 @@ def map_step(
     # lazy scoring rarely needs many slots (most reads have 1 candidate);
     # overflow is counted, so a repeat-dense genome is visible, not silent
     slot_cap = slot_cap or max(512, B // 2)
-    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow = _candidates(
+    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow, _ = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         best_floor,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
@@ -534,7 +534,7 @@ def cs_best_step(
     phase 2's map_step as `best_floor`.  XLA dead-code-eliminates the
     selection/ordering work, leaving just lookup + compaction + vote count.
     """
-    *_, best, _ = _candidates(
+    *_, best, _, _ = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
@@ -560,7 +560,12 @@ class CandState(NamedTuple):
     cs_score: jax.Array         # [B, C] int32
     best: jax.Array             # [B] int32 local best bucket count
     fanout_overflow: jax.Array  # [] int32
-    cmr_overflow: jax.Array     # [] int32
+    cmr_overflow: jax.Array     # [] int32 — LOCAL-threshold count; bogus for
+                                # audit (non-owning shards see a noise-level
+                                # best => threshold 1 => floods); phase 2
+                                # recounts with extra_score vs the GLOBAL
+                                # threshold and uses that instead
+    extra_score: jax.Array      # [B] int32 (C+1)-th best eligible score
 
 
 @partial(jax.jit, static_argnames=_STATICS)
@@ -576,7 +581,7 @@ def cs_cands_step(
     once per shard, keeping the candidate lists for phase 2 instead of
     re-deriving them (round 2 ran cs_best_step + map_step = TWO full CS
     passes per shard; CS dominates the sharded step)."""
-    corr_start, strand, _, cs_score, _, _, best, overflow = _candidates(
+    corr_start, strand, _, cs_score, _, _, best, overflow, extra = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
@@ -584,7 +589,7 @@ def cs_cands_step(
         packed_offsets=packed_offsets, canonical=canonical,
     )
     return CandState(corr_start, strand, cs_score, best,
-                     overflow[0], overflow[1])
+                     overflow[0], overflow[1], extra)
 
 
 def _shifted_rc(reads, lengths):
@@ -618,7 +623,11 @@ def _regate_candidates(cand: CandState, best_g, sensitivity, min_kmer_hits):
     strand = permute_small(cand.strand, order)
     valid = permute_small(valid.astype(jnp.int32), order) == 1
     n_cands = jnp.sum(valid.astype(jnp.int32), axis=1)
-    return corr_start, strand, valid, n_cands
+    # HONEST cmr overflow for the floorless phase 1: a read lost an eligible
+    # candidate to the C-truncation iff the (C+1)-th best local score still
+    # clears the GLOBAL threshold (exact: eligibility is purely score >= thr)
+    cmr_overflow = jnp.sum((cand.extra_score >= thresh).astype(jnp.int32))
+    return corr_start, strand, valid, n_cands, cmr_overflow
 
 
 @partial(jax.jit, static_argnames=_STATICS)
@@ -638,10 +647,10 @@ def map_step_from_cands(
     B = reads.shape[0]
     slot_cap = slot_cap or max(512, B // 2)
     rc = _shifted_rc(reads, lengths)
-    corr_start, strand, cand_valid, n_cands = _regate_candidates(
+    corr_start, strand, cand_valid, n_cands, cmr_ovf = _regate_candidates(
         cand, best_g, sensitivity, min_kmer_hits
     )
-    overflow = (cand.fanout_overflow, cand.cmr_overflow)
+    overflow = (cand.fanout_overflow, cmr_ovf)
     return _single_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
@@ -665,10 +674,10 @@ def map_step_paired_from_cands(
     B = reads.shape[0]
     slot_cap = slot_cap or max(512, B // 2)
     rc = _shifted_rc(reads, lengths)
-    corr_start, strand, cand_valid, n_cands = _regate_candidates(
+    corr_start, strand, cand_valid, n_cands, cmr_ovf = _regate_candidates(
         cand, best_g, sensitivity, min_kmer_hits
     )
-    overflow = (cand.fanout_overflow, cand.cmr_overflow)
+    overflow = (cand.fanout_overflow, cmr_ovf)
     return _paired_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, min_insert, max_insert, pair_cutoff,
@@ -765,10 +774,10 @@ def map_step_topn_from_cands(
     B = reads.shape[0]
     slot_cap = slot_cap or 2 * B
     rc = _shifted_rc(reads, lengths)
-    corr_start, strand, cand_valid, n_cands = _regate_candidates(
+    corr_start, strand, cand_valid, n_cands, cmr_ovf = _regate_candidates(
         cand, best_g, sensitivity, min_kmer_hits
     )
-    overflow = (cand.fanout_overflow, cand.cmr_overflow)
+    overflow = (cand.fanout_overflow, cmr_ovf)
     return _topn_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
@@ -797,7 +806,7 @@ def map_step_topn(
     """
     B = reads.shape[0]
     slot_cap = slot_cap or 2 * B
-    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow = _candidates(
+    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow, _ = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
@@ -977,7 +986,7 @@ def map_step_paired(
     # lazy scoring rarely needs many slots (most reads have 1 candidate);
     # overflow is counted, so a repeat-dense genome is visible, not silent
     slot_cap = slot_cap or max(512, B // 2)
-    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow = _candidates(
+    corr_start, strand, cand_valid, _, n_cands, rc, _, overflow, _ = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
         best_floor,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,

@@ -56,6 +56,11 @@ class Candidates(NamedTuple):
     fanout_overflow: jax.Array  # [] int32 — k-mer rows truncated by K
     hit_overflow: jax.Array     # [] int32 — reads truncated by the H cap
     cmr_overflow: jax.Array     # [] int32 — reads with > C surviving CMRs
+    extra_score: jax.Array      # [B] int32 the (C+1)-th best eligible bucket
+                               # score (0 if fewer than C+1 eligible): lets a
+                               # floorless phase-1 shard pass be re-counted
+                               # against the GLOBAL threshold later
+                               # (#eligible > C  <=>  extra_score >= thresh)
 
 
 def _cummax(x, axis):
@@ -421,13 +426,22 @@ def _select_candidates(votes, sensitivity, max_cmrs, axis_name, best_floor=None)
     cmr_overflow = jnp.sum((n_cands > C).astype(jnp.int32))
 
     sel_key = jnp.where(eligible, key, 0)
-    top_score, top_idx = jax.lax.top_k(sel_key, C)
+    # C+1: the extra column is the (C+1)-th best eligible score, kept so a
+    # floorless phase-1 selection (sequential shard loop) can later count
+    # overflow exactly against the GLOBAL threshold
+    if C + 1 <= N:
+        top_score1, top_idx1 = jax.lax.top_k(sel_key, C + 1)
+        top_score, top_idx = top_score1[:, :C], top_idx1[:, :C]
+        extra_score = top_score1[:, C]
+    else:  # C covers every vote slot: nothing can ever be clipped
+        top_score, top_idx = jax.lax.top_k(sel_key, C)
+        extra_score = jnp.zeros((B,), jnp.int32)
     top_vote = jnp.take_along_axis(s, top_idx, axis=1)   # [B, C] small gather
     # best_thr (not the local best) is returned so downstream gates — the
     # --kmer-min zero-CMR retry — see the GLOBAL best under index sharding;
     # a local-only gate would make output depend on shard count
     # (DESIGN.md rule 15).  Without axis/floor, best_thr == best.
-    return top_vote, top_score, best_thr, cmr_overflow
+    return top_vote, top_score, best_thr, cmr_overflow, extra_score
 
 
 @partial(
@@ -490,7 +504,7 @@ def candidate_search_dual(
     vote_lo = jnp.where(valid, 2 * (vote - 1), SENTINEL)
     votes = jnp.concatenate([vote_hi, vote_lo], axis=1)  # [B, 2H]
 
-    top_vote, top_score, best, co = _select_candidates(
+    top_vote, top_score, best, co, extra = _select_candidates(
         votes, sensitivity, max_cmrs, axis_name, best_floor
     )
     got = top_score > 0
@@ -507,6 +521,7 @@ def candidate_search_dual(
         fanout_overflow=fo,
         hit_overflow=ho,
         cmr_overflow=co,
+        extra_score=extra,
     )
 
 
@@ -566,7 +581,7 @@ def candidate_search_canonical(
     vote_lo = jnp.where(valid, 2 * (vote - 1), SENTINEL)
     votes = jnp.concatenate([vote_hi, vote_lo], axis=1)  # [B, 2H]
 
-    top_vote, top_score, best, co = _select_candidates(
+    top_vote, top_score, best, co, extra = _select_candidates(
         votes, sensitivity, max_cmrs, axis_name, best_floor
     )
     got = top_score > 0
@@ -583,6 +598,7 @@ def candidate_search_canonical(
         fanout_overflow=fo,
         hit_overflow=ho,
         cmr_overflow=co,
+        extra_score=extra,
     )
 
 
@@ -621,7 +637,7 @@ def candidate_search(
     vote_lo = jnp.where(valid, 2 * (vote - 1), SENTINEL)
     votes = jnp.concatenate([vote_hi, vote_lo], axis=1)
 
-    top_vote, top_score, best, co = _select_candidates(
+    top_vote, top_score, best, co, extra = _select_candidates(
         votes, sensitivity, max_cmrs, axis_name
     )
     got = top_score > 0
@@ -634,6 +650,7 @@ def candidate_search(
         fanout_overflow=fo,
         hit_overflow=ho,
         cmr_overflow=co,
+        extra_score=extra,
     )
 
 

@@ -196,6 +196,11 @@ def test_sharded_scan_matches_mesh_and_single(setup):
     assert np.array_equal(np.asarray(single.score), np.asarray(scan.score))
     assert np.array_equal(np.asarray(single.ops), np.asarray(scan.ops))
     assert np.array_equal(np.asarray(single.mapq), np.asarray(scan.mapq))
+    # the phase-1 shard pass has no global floor, so its LOCAL-threshold
+    # overflow count floods on non-owning shards (measured 34845 bogus
+    # overflows over 20k reads at config-4); phase 2 must recount against
+    # the global threshold, matching the honest unsharded counter here
+    assert int(scan.cmr_overflow) == int(single.cmr_overflow)
 
 
 def test_sharded_scan_paired_matches_single(setup):
