@@ -756,6 +756,58 @@ def map_step_sharded_scan(
     )
 
 
+@partial(jax.jit, static_argnames=_STATICS + ("paired",))
+def map_step_scan(
+    genome, offsets, positions, reads_k, lengths_k, matrices,
+    gopen_q, gopen_r, gext, sensitivity, max_freq, min_identity, min_residues,
+    min_insert=None, max_insert=None, pair_cutoff=None,
+    *, paired=False,
+    k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
+    canonical=False, cs_axis=None,
+) -> MapResult:
+    """MEGABATCH step: K read batches in ONE program (lax.scan over [K,B,L]).
+
+    Through the axon tunnel a dispatch of the fused step costs far more than
+    its device time (probe_sharded measured the 4-shard scan at 3.4 ms/batch
+    where per-batch dispatch of the same work measured 10.6; probe_megabatch
+    measured loop 43.9 / loopblock 67.7 ms/batch for a step whose in-scan
+    rate is several times faster).  Folding K batches into one scan pays the
+    dispatch once per K batches.  Results are bit-identical to K separate
+    map_step calls: the scan body IS map_step.
+    """
+    statics = dict(
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+        bs_cutoff=bs_cutoff, sw_backend=sw_backend, end_to_end=end_to_end,
+        packed_offsets=packed_offsets, simple_matrix=simple_matrix,
+        canonical=canonical, cs_axis=cs_axis,
+    )
+
+    def body(carry, xs):
+        reads, lengths = xs
+        if paired:
+            r = map_step_paired(
+                genome, offsets, positions, reads, lengths, matrices,
+                gopen_q, gopen_r, gext, sensitivity, max_freq,
+                min_identity, min_residues,
+                min_insert, max_insert, pair_cutoff, **statics,
+            )
+        else:
+            r = map_step(
+                genome, offsets, positions, reads, lengths, matrices,
+                gopen_q, gopen_r, gext, sensitivity, max_freq,
+                min_identity, min_residues, **statics,
+            )
+        return carry, r
+
+    _, rs = jax.lax.scan(body, 0, (reads_k, lengths_k))
+    return rs
+
+
 @partial(jax.jit, static_argnames=_STATICS + ("topn",))
 def map_step_topn_from_cands(
     genome, reads, lengths, matrices, gopen_q, gopen_r, gext,

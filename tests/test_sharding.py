@@ -222,3 +222,47 @@ def test_sharded_scan_paired_matches_single(setup):
                           np.asarray(scan.pos).astype(np.int64))
     assert np.array_equal(np.asarray(single.proper), np.asarray(scan.proper))
     assert np.array_equal(np.asarray(single.score), np.asarray(scan.score))
+
+
+def test_megabatch_scan_matches_separate_calls(setup):
+    """map_step_scan over K stacked batches == K separate map_step calls,
+    field for field (SE and PE) — the megabatch program is pure dispatch
+    amortization, never a semantic change."""
+    from nextgenmap_tpu.models.mapper import map_step_scan
+
+    s = setup
+    args = se_args(s)
+    codes, lens = args[3], args[4]
+    # 3 distinct batches: slices of the 64-read fixture (pad to equal B)
+    ks = [codes[0:32], codes[16:48], codes[32:64]]
+    kl = [lens[0:32]] * 3
+    singles = [
+        map_step(*args[:3], c, l, *args[5:], **s["statics"])
+        for c, l in zip(ks, kl)
+    ]
+    stacked = map_step_scan(
+        *args[:3], jnp.stack(ks), jnp.stack(kl), *args[5:],
+        paired=False, **s["statics"],
+    )
+    for i, single in enumerate(singles):
+        row = type(single)(*[jnp.asarray(getattr(stacked, f))[i]
+                             for f in single._fields])
+        assert_results_equal(single, row)
+
+    pargs = pe_args(s)
+    pcodes, plens = pargs[3], pargs[4]
+    pk = [pcodes[0:32], pcodes[32:64]]
+    pl = [plens[0:32]] * 2
+    psingles = [
+        map_step_paired(*pargs[:3], c, l, *pargs[5:], **s["statics"])
+        for c, l in zip(pk, pl)
+    ]
+    pstacked = map_step_scan(
+        *pargs[:3], jnp.stack(pk), jnp.stack(pl), *pargs[5:13],
+        pargs[13], pargs[14], pargs[15],
+        paired=True, **s["statics"],
+    )
+    for i, single in enumerate(psingles):
+        row = type(single)(*[jnp.asarray(getattr(pstacked, f))[i]
+                             for f in single._fields])
+        assert_results_equal(single, row)

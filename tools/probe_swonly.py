@@ -61,6 +61,38 @@ def main() -> None:
     fn = banded_sw_score_pallas if BACKEND == "pallas" else banded_sw_score
     kw = dict(band=W, simple=SIMPLE)
 
+    if os.environ.get("NGM_SW_SCAN", "0") == "1":
+        # TRUE device-time GCUPS: one dispatch, N in-program executions over
+        # distinct slices (lax.scan) — no per-dispatch tunnel latency in the
+        # numerator, so this is the number the roofline row should carry
+        qs = jnp.stack(qds)
+        rs = jnp.stack(rds)
+        jax.block_until_ready([qs, rs])
+
+        @jax.jit
+        def run_scan(qs, rs):
+            def body(c, xs):
+                qi, ri = xs
+                s, e = fn(qi, lens, ri, mats, gq, gr, ge, msel, **kw)
+                return c, (s, e)
+            _, outs = jax.lax.scan(body, 0, (qs, rs))
+            return outs
+
+        out = run_scan(qs, rs)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        out = run_scan(qs, rs)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        cells = B * L * W * N
+        print(json.dumps({
+            "backend": BACKEND, "simple": SIMPLE, "scan": True,
+            "shape": [B, L, W],
+            "ms_per_call": round(dt / N * 1e3, 3),
+            "gcups": round(cells / dt / 1e9, 3),
+        }))
+        return
+
     out = fn(qds[0], lens, rds[0], mats, gq, gr, ge, msel, **kw)
     jax.block_until_ready(out)
     t0 = time.time()
