@@ -108,6 +108,9 @@ def build_parser():
                             "(comma-separated ids); maps to TPU chips: "
                             "'-g 0,1' = data-parallel over 2 devices")
         g.add_argument("--batch-size", type=int, default=D.batch_size)
+        g.add_argument("--megabatch", type=int, default=D.megabatch,
+                       help="fold K read batches into one device program "
+                            "(amortizes per-dispatch latency; 0 = off)")
         g.add_argument("--read-len", type=int, default=0,
                        help="static padded read length (0 = infer)")
         g.add_argument("--corridor", type=int, default=0)
@@ -187,7 +190,8 @@ def config_from_args(a) -> NgmConfig:
         no_unal=a.no_unal, hard_clip=a.hard_clip, silent_clip=a.silent_clip,
         rg_id=a.rg_id, rg_sm=a.rg_sm, rg_lb=a.rg_lb, rg_pl=a.rg_pl,
         rg_pu=a.rg_pu, bam=a.bam,
-        batch_size=a.batch_size, read_len=a.read_len, corridor=a.corridor,
+        batch_size=a.batch_size, megabatch=a.megabatch,
+        read_len=a.read_len, corridor=a.corridor,
         skip_save=a.skip_save, no_progress=a.no_progress, threads=a.threads,
         devices=devices,
         qry_start=a.qry_start, qry_count=a.qry_count,

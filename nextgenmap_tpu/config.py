@@ -94,6 +94,12 @@ class NgmConfig:
     # --- runtime / batching ---
     batch_size: int = 4096        # reads per device step (v5e sweet spot:
                                   # 4096 beats 2048 by ~8% reads/s)
+    megabatch: int = 0            # fold K batches into ONE device program
+                                  # (lax.scan over [K,B,L]): amortizes the
+                                  # per-dispatch executor/tunnel latency that
+                                  # dominates small-step dispatch; 0/1 = off.
+                                  # Applies to the plain single-device path
+                                  # (not topn/sharded/staged-long-read)
     read_len: int = 0             # 0 = infer from input; padded static length
     corridor: int = 0             # 0 = derive from read length
     skip_save: bool = False       # don't memoize index artifacts

@@ -1517,6 +1517,28 @@ class Mapper:
             **self._statics(),
         )
 
+    def supports_megabatch(self) -> bool:
+        """map_batch_scan is valid on the plain one-device path only (the
+        sharded paths have their own scan; topn/staged have bespoke tails)."""
+        return (self._sharded is None and self.n_devices == 1
+                and not self._staged())
+
+    def map_batch_scan(self, codes_k: np.ndarray, lengths_k: np.ndarray,
+                       paired: bool = False) -> MapResult:
+        """K stacked [B, L] batches in ONE dispatch (map_step_scan); fields
+        come back stacked [K, ...].  Bit-identical per batch to map_batch."""
+        cfg = self.cfg
+        pair_args = ()
+        if paired:
+            pair_args = (
+                jnp.int32(cfg.min_insert_size), jnp.int32(cfg.max_insert_size),
+                jnp.float32(cfg.pair_score_cutoff),
+            )
+        return map_step_scan(
+            *self._common_args(codes_k, lengths_k), *pair_args,
+            paired=paired, **self._statics(),
+        )
+
     def map_batch_paired(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         cfg = self.cfg
         pair_args = (

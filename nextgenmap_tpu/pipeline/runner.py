@@ -770,6 +770,45 @@ def run_mapping(
     # DISPATCHED to the device (async under JAX) before batch i's results are
     # emitted; with -t >= 2 emission itself moves to a dedicated thread so
     # parse, device compute, and SAM formatting all overlap
+    def run_megabatched(batches_it, K, paired, emit):
+        """--megabatch K: group K batches per dispatch (map_step_scan — one
+        program execution per K batches amortizes the per-dispatch executor
+        latency).  The tail group is PADDED with replicas of its last batch
+        (compiling a separate single-batch program for one tail costs far
+        more than the wasted rows); padded rows are never emitted, so output
+        is byte-identical to the per-batch loop."""
+
+        def emit_group(pending):
+            group, res_k = pending
+            host = type(res_k)(*[np.asarray(f) for f in res_k])
+            for i, b in enumerate(group):
+                emit((b, type(res_k)(*[f[i] for f in host])))
+
+        def flush(group):
+            n = len(group)
+            t0 = time.perf_counter()
+            codes_k = np.stack([b.codes for b in group]
+                               + [group[-1].codes] * (K - n))
+            lens_k = np.stack([b.lengths for b in group]
+                              + [group[-1].lengths] * (K - n))
+            res_k = _start_fetch(
+                mapper.map_batch_scan(codes_k, lens_k, paired=paired)
+            )
+            t1 = time.perf_counter()
+            stats.add_time("dispatch", t1 - t0)
+            emitter.submit(emit_group, (group, res_k))
+            stats.add_time("emit_wait", time.perf_counter() - t1)
+
+        group: list = []
+        for batch in batches_it:
+            group.append(batch)
+            if len(group) == K:
+                flush(group)
+                group = []
+        if group:
+            flush(group)
+        emitter.close()
+
     emitter = _Emitter(async_=cfg.threads > 1)
     if cfg.threads > 1:
         log.info("emitter thread enabled (-t %d)", cfg.threads)
@@ -796,17 +835,23 @@ def run_mapping(
                 emit_single(writer, batch, res, stats)
                 after_emit(res, batch)
 
-        for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
-            t0 = time.perf_counter()
-            res = _start_fetch(
-                mapper.map_batch_topn(batch.codes, batch.lengths)
-                if topn > 1 else mapper.map_batch(batch.codes, batch.lengths)
+        if cfg.megabatch > 1 and topn == 1 and mapper.supports_megabatch():
+            run_megabatched(
+                _prefetch(batches, depth=prefetch_depth, stats=stats),
+                cfg.megabatch, False, emit,
             )
-            t1 = time.perf_counter()
-            stats.add_time("dispatch", t1 - t0)
-            emitter.submit(emit, (batch, res))
-            stats.add_time("emit_wait", time.perf_counter() - t1)
-        emitter.close()
+        else:
+            for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
+                t0 = time.perf_counter()
+                res = _start_fetch(
+                    mapper.map_batch_topn(batch.codes, batch.lengths)
+                    if topn > 1 else mapper.map_batch(batch.codes, batch.lengths)
+                )
+                t1 = time.perf_counter()
+                stats.add_time("dispatch", t1 - t0)
+                emitter.submit(emit, (batch, res))
+                stats.add_time("emit_wait", time.perf_counter() - t1)
+            emitter.close()
     else:
         from nextgenmap_tpu.pair.resolve import emit_paired
 
@@ -828,16 +873,22 @@ def run_mapping(
             emit_paired(writer, pb, pr, stats)
             after_emit(pr, pb)
 
-        for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
-            t0 = time.perf_counter()
-            res = _start_fetch(
-                mapper.map_batch_paired(batch.codes, batch.lengths)
+        if cfg.megabatch > 1 and mapper.supports_megabatch():
+            run_megabatched(
+                _prefetch(batches, depth=prefetch_depth, stats=stats),
+                cfg.megabatch, True, emit_pe,
             )
-            t1 = time.perf_counter()
-            stats.add_time("dispatch", t1 - t0)
-            emitter.submit(emit_pe, (batch, res))
-            stats.add_time("emit_wait", time.perf_counter() - t1)
-        emitter.close()
+        else:
+            for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
+                t0 = time.perf_counter()
+                res = _start_fetch(
+                    mapper.map_batch_paired(batch.codes, batch.lengths)
+                )
+                t1 = time.perf_counter()
+                stats.add_time("dispatch", t1 - t0)
+                emitter.submit(emit_pe, (batch, res))
+                stats.add_time("emit_wait", time.perf_counter() - t1)
+            emitter.close()
     if profile_dir:
         _jx.profiler.stop_trace()
         log.info("profiler trace written to %s", profile_dir)
