@@ -1332,12 +1332,27 @@ class Mapper:
         # A/B and as a fallback if the fused scan program fails to compile.
         import os as _os
 
-        if _os.environ.get("NGM_SHARD_LOOP") != "host":
-            return map_step_sharded_scan(
-                *self._shard_stack, self._base, self._clo, self._chi,
-                reads, lens, *scalars, *pair_args,
-                paired=paired, read_len=self.read_len, **self._statics(),
-            )
+        if (_os.environ.get("NGM_SHARD_LOOP") != "host"
+                and not getattr(self, "_scan_fallback", False)):
+            try:
+                return map_step_sharded_scan(
+                    *self._shard_stack, self._base, self._clo, self._chi,
+                    reads, lens, *scalars, *pair_args,
+                    paired=paired, read_len=self.read_len, **self._statics(),
+                )
+            except jax.errors.JaxRuntimeError as e:
+                # giant fused programs (bisulfite dual tables x S shards)
+                # can crash the environment's remote-compile helper; the
+                # host-driven per-phase loop compiles S small programs and
+                # is bit-identical, so fall back permanently and retry
+                from nextgenmap_tpu.utils.logging import get_logger
+
+                get_logger("ngm-tpu.map").warning(
+                    "fused sharded-scan program failed to compile (%s); "
+                    "falling back to the host-driven shard loop",
+                    str(e)[:200],
+                )
+                self._scan_fallback = True
         sens = jnp.float32(cfg.sensitivity)
         mf = jnp.int32(cfg.max_kmer_freq)
         statics = self._statics()

@@ -212,3 +212,53 @@ def test_sharded_index_memoization(shard_dir, tmp_path):
     assert run("c.sam", ("--max-freq", "7")) == 0
     caches = glob.glob(str(d / "ref.fa.ngmt-shards-*"))
     assert len(caches) == 2, caches
+
+
+def test_sharded_scan_compile_failure_falls_back(tmp_path):
+    """If the fused sharded-scan program fails to compile (environmental
+    remote-compile crashes on giant programs, e.g. bisulfite x shards), the
+    Mapper permanently falls back to the host-driven per-phase loop."""
+    import jax
+    import numpy as np
+
+    from nextgenmap_tpu import models
+    from nextgenmap_tpu.config import NgmConfig
+    from nextgenmap_tpu.index.kmer_index import KmerIndex
+    from nextgenmap_tpu.io.simulate import random_genome, simulate_reads
+    from nextgenmap_tpu.models.mapper import Mapper
+
+    cfg = NgmConfig(kmer=11, index_shards=2, skip_save=True, devices=1)
+    g = random_genome(40_000, seed=5)
+    idx = KmerIndex.build(g, k=11, skip=2, max_freq=1000)
+
+    class _G:
+        pass
+
+    gobj = _G()
+    gobj.codes = g
+    mapper = Mapper(cfg, gobj, 100, index=idx)
+    reads = simulate_reads(g, 32, read_len=100, snp_rate=0.02, seed=6)
+    codes = np.stack([r.codes for r in reads])
+    lens = np.full(32, 100, np.int32)
+    want = mapper.map_batch(codes, lens)
+
+    fresh = Mapper(cfg, gobj, 100, index=idx)
+    orig = models.mapper.map_step_sharded_scan
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("synthetic compile crash")
+
+    models.mapper.map_step_sharded_scan = boom
+    try:
+        got = fresh.map_batch(codes, lens)
+        again = fresh.map_batch(codes, lens)   # must not retry the scan
+    finally:
+        models.mapper.map_step_sharded_scan = orig
+    assert calls["n"] == 1
+    for f in ("mapped", "pos", "strand", "score", "mapq"):
+        assert np.array_equal(np.asarray(getattr(want, f)),
+                              np.asarray(getattr(got, f))), f
+        assert np.array_equal(np.asarray(getattr(want, f)),
+                              np.asarray(getattr(again, f))), f

@@ -73,8 +73,7 @@ def main() -> None:
         def run_scan(qs, rs):
             def body(c, xs):
                 qi, ri = xs
-                s, e = fn(qi, lens, ri, mats, gq, gr, ge, msel, **kw)
-                return c, (s, e)
+                return c, fn(qi, lens, ri, mats, gq, gr, ge, msel, **kw)
             _, outs = jax.lax.scan(body, 0, (qs, rs))
             return outs
 
