@@ -116,11 +116,14 @@ def main() -> None:
     ).sum())
     n = BATCH * N_BATCHES
     log(f"truth accuracy first batch: {ok}/{BATCH}")
+    hov = sum(int(r.fanout_overflow) for r in results)
+    cov = sum(int(r.cmr_overflow) for r in results)
     print(json.dumps({
-        "owners": _OWNERS_MODE,
+        "owners": _OWNERS_MODE, "H": H,
         "ms_per_batch": round(dt / N_BATCHES * 1e3, 2),
         "reads_per_sec": round(n / dt, 1),
         "acc_first_batch": ok,
+        "overflows_kmer_cmr": [hov, cov],
     }))
 
 

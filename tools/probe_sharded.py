@@ -66,26 +66,37 @@ def main() -> None:
     jax.block_until_ready(first)
     log(f"compile+first: {time.time()-t0:.1f}s")
 
+    # batch 0 was already executed during compile+first: the axon tunnel can
+    # result-cache identical (program, inputs) re-dispatches, so the timed
+    # loop SKIPS it, and per-batch blocked times expose any cache hits
+    per = []
     t0 = time.time()
-    results = [
-        mapper.map_batch(codes[b * BATCH:(b + 1) * BATCH], lens)
-        for b in range(N_BATCHES)
-    ]
+    results = []
+    for b in range(1, N_BATCHES):
+        tb = time.time()
+        r = mapper.map_batch(codes[b * BATCH:(b + 1) * BATCH], lens)
+        if os.environ.get("NGM_SHARD_BLOCK", "0") == "1":
+            jax.block_until_ready(r)
+            per.append(round((time.time() - tb) * 1e3, 1))
+        results.append(r)
     jax.block_until_ready(results)
     dt = time.time() - t0
+    n_timed = N_BATCHES - 1
 
-    r0 = results[0]
-    p = np.asarray(r0.pos).astype(np.int64)
+    rl = results[-1]
+    lo = (N_BATCHES - 1) * BATCH
+    p = np.asarray(rl.pos).astype(np.int64)
     ok = int((
-        np.asarray(r0.mapped)
-        & (np.abs(p - truth_pos[:BATCH]) <= 5)
-        & (np.asarray(r0.strand) == truth_strand[:BATCH])
+        np.asarray(rl.mapped)
+        & (np.abs(p - truth_pos[lo:lo + BATCH]) <= 5)
+        & (np.asarray(rl.strand) == truth_strand[lo:lo + BATCH])
     ).sum())
     print(json.dumps({
         "mode": MODE, "shards": SHARDS,
-        "ms_per_batch": round(dt / N_BATCHES * 1e3, 2),
-        "reads_per_sec": round(BATCH * N_BATCHES / dt, 1),
-        "acc_first_batch": f"{ok}/{BATCH}",
+        "ms_per_batch": round(dt / n_timed * 1e3, 2),
+        "reads_per_sec": round(BATCH * n_timed / dt, 1),
+        "per_batch_ms": per,
+        "acc_last_batch": f"{ok}/{BATCH}",
     }))
 
 

@@ -1,0 +1,157 @@
+"""TRUE device-time per stage: one dispatch, K in-program executions.
+
+The cumulative staged-program breakdown (BASELINE round 3) timed each stage
+as its own dispatched program, so per-dispatch executor/tunnel latency rode
+every row.  probe_megabatch proved the fused step's pipelined per-batch time
+equals its scan-of-8 time (43.9 ms at config-2), i.e. the step is device-
+bound — but the STAGE attribution still came from dispatched programs.
+Here each stage runs as a lax.scan over K distinct batches inside ONE
+program, so the per-batch figure is pure device time.
+
+    NGM_STAGE=kmers|cs|csq|full  python tools/probe_stage_scan.py
+
+  kmers : canonical k-mer extraction only
+  cs    : full candidate search (lookup + compaction + votes + select)
+  csq   : lookup + compaction only (H-slot positions; select DCE'd)
+  full  : the whole map_step
+
+Prints one JSON line with ms/batch (device) for the stage.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGE = os.environ.get("NGM_STAGE", "cs")
+GENOME_SIZE = int(os.environ.get("NGM_PROBE_G", 64_000_000))
+READ_LEN = int(os.environ.get("NGM_PROBE_L", 150))
+BATCH = int(os.environ.get("NGM_PROBE_B", 4096))
+N_BATCHES = int(os.environ.get("NGM_PROBE_N", 8))
+FORCE_H = int(os.environ.get("NGM_PROBE_H", 0))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from nextgenmap_tpu.config import NgmConfig
+    from nextgenmap_tpu.index.device_build import build_index_device
+    from nextgenmap_tpu.io.simulate import random_genome, simulate_reads_fast
+    from nextgenmap_tpu.models.mapper import _candidates, map_step
+    from nextgenmap_tpu.ops.candidate import pack_offsets
+    from nextgenmap_tpu.ops.kmer import extract_kmers_canonical
+    from nextgenmap_tpu.ops.scoring import score_matrix
+
+    cfg = NgmConfig()
+    if FORCE_H:
+        cfg = cfg.replace(max_read_hits=FORCE_H)
+    log(f"device: {jax.devices()[0].platform}  stage: {STAGE}")
+
+    g = random_genome(GENOME_SIZE, seed=11)
+    genome_d = jax.device_put(jnp.asarray(g))
+    off_d, pos_d = build_index_device(
+        genome_d, k=cfg.kmer, skip=cfg.kmer_skip, canonical=True
+    )
+    jax.block_until_ready(pos_d)
+    packed = pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+    packed_offsets = packed is not None
+    if packed_offsets:
+        off_d = packed
+
+    # 2x batches: warm on the first half, time on the second (the tunnel can
+    # result-cache an identical (program, inputs) re-dispatch)
+    codes, _, _ = simulate_reads_fast(
+        g, BATCH * N_BATCHES * 2, read_len=READ_LEN, snp_rate=0.02, seed=12
+    )
+    lens_d = jnp.full((BATCH,), READ_LEN, jnp.int32)
+    mats_d = jnp.asarray(np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)]))
+    band = cfg.corridor_for(READ_LEN)
+    H = cfg.resolved_read_hits(int(pos_d.shape[0]), READ_LEN)
+    log(f"H={H} band={band}")
+    statics = dict(
+        k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, hit_cap=H,
+        max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
+        min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
+        packed_offsets=packed_offsets, canonical=True,
+    )
+    sens = jnp.float32(cfg.sensitivity)
+    mf = jnp.int32(cfg.max_kmer_freq)
+
+    def stage_kmers(reads):
+        c, f, ok = extract_kmers_canonical(
+            reads, lens_d, cfg.kmer, stride=cfg.read_kmer_skip
+        )
+        # fold so nothing is DCE'd
+        return (jnp.sum(c & 0xFF), jnp.sum(f), jnp.sum(ok))
+
+    def stage_cs(reads):
+        out = _candidates(
+            genome_d, off_d, pos_d, reads, lens_d, sens, mf, **statics
+        )
+        corr, strand, valid, score, n, rc, best, ovf, extra = out
+        return (jnp.sum(corr & 0xFF), jnp.sum(strand), jnp.sum(n),
+                jnp.sum(best))
+
+    def stage_csq(reads):
+        from nextgenmap_tpu.ops.candidate import _compact_hits
+        canon, flip, ok = extract_kmers_canonical(
+            reads, lens_d, cfg.kmer, stride=cfg.read_kmer_skip
+        )
+        pos_e, qid, valid, fo, ho, yflip = _compact_hits(
+            canon, ok, off_d, pos_d, mf,
+            fanout_cap=cfg.max_kmer_fanout, hit_cap=H,
+            packed_offsets=packed_offsets, payload=flip,
+        )
+        return (jnp.sum(pos_e & 0xFF), jnp.sum(qid & 0xFF),
+                jnp.sum(valid), fo, ho)
+
+    def stage_full(reads):
+        r = map_step(
+            genome_d, off_d, pos_d, reads, lens_d, mats_d,
+            jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),
+            jnp.int32(cfg.gap_extend_penalty), sens, mf,
+            jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
+            **statics, sw_backend=cfg.sw_backend, simple_matrix=True,
+        )
+        return (jnp.sum(r.pos & 0xFF), jnp.sum(r.mapped), jnp.sum(r.score))
+
+    fn = {"kmers": stage_kmers, "cs": stage_cs, "csq": stage_csq,
+          "full": stage_full}[STAGE]
+
+    full = codes.reshape(2 * N_BATCHES, BATCH, READ_LEN)
+    warm = jax.device_put(jnp.asarray(full[:N_BATCHES]))
+    timed = jax.device_put(jnp.asarray(full[N_BATCHES:]))
+    jax.block_until_ready([warm, timed])
+
+    @jax.jit
+    def run_scan(stk):
+        def body(c, reads):
+            return c, fn(reads)
+        _, outs = jax.lax.scan(body, 0, stk)
+        return outs
+
+    t0 = time.time()
+    out = run_scan(warm)
+    jax.block_until_ready(out)
+    log(f"compile+first sweep: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    out = run_scan(timed)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    print(json.dumps({
+        "stage": STAGE, "H": H, "n_batches": N_BATCHES,
+        "ms_per_batch": round(dt / N_BATCHES * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
