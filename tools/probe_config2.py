@@ -29,8 +29,10 @@ GENOME_SIZE = int(os.environ.get("NGM_PROBE_G", 64_000_000))
 READ_LEN = int(os.environ.get("NGM_PROBE_L", 150))
 BATCH = int(os.environ.get("NGM_PROBE_B", 4096))
 N_BATCHES = int(os.environ.get("NGM_PROBE_N", 8))
-SNP_RATE = 0.02
+SNP_RATE = float(os.environ.get("NGM_PROBE_SNP", 0.02))
 FORCE_H = int(os.environ.get("NGM_PROBE_H", 0))  # 0 = auto
+CANON = os.environ.get("NGM_PROBE_CANON", "1") == "1"
+PACKED = os.environ.get("NGM_PROBE_PACKED", "1") == "1"  # only with CANON
 
 
 def log(*a):
@@ -55,11 +57,12 @@ def main() -> None:
     g = random_genome(GENOME_SIZE, seed=11)
     genome_d = jax.device_put(jnp.asarray(g))
     off_d, pos_d = build_index_device(
-        genome_d, k=cfg.kmer, skip=cfg.kmer_skip, canonical=True
+        genome_d, k=cfg.kmer, skip=cfg.kmer_skip, canonical=CANON
     )
     jax.block_until_ready(pos_d)
     log(f"index: {time.time()-t0:.1f}s ({pos_d.shape[0]} positions)")
-    packed = pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+    packed = (pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+              if PACKED else None)
     packed_offsets = packed is not None
     if packed_offsets:
         off_d = packed
@@ -76,7 +79,7 @@ def main() -> None:
         k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, hit_cap=H,
         max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
-        packed_offsets=packed_offsets, canonical=True,
+        packed_offsets=packed_offsets, canonical=CANON,
         sw_backend=cfg.sw_backend,
         simple_matrix=True,
     )
@@ -120,6 +123,7 @@ def main() -> None:
     cov = sum(int(r.cmr_overflow) for r in results)
     print(json.dumps({
         "owners": _OWNERS_MODE, "H": H,
+        "canonical": CANON, "packed": packed_offsets,
         "ms_per_batch": round(dt / N_BATCHES * 1e3, 2),
         "reads_per_sec": round(n / dt, 1),
         "acc_first_batch": ok,
