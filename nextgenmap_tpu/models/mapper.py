@@ -1332,8 +1332,15 @@ class Mapper:
         # A/B and as a fallback if the fused scan program fails to compile.
         import os as _os
 
-        if (_os.environ.get("NGM_SHARD_LOOP") != "host"
-                and not getattr(self, "_scan_fallback", False)):
+        mode = _os.environ.get("NGM_SHARD_LOOP")
+        if mode is None and cfg.bs_mapping:
+            # the fused bisulfite x shards scan (dual collapsed tables double
+            # the program) crashed AND hung this environment's remote-compile
+            # helper at gigabase scale; the host-driven per-phase loop is
+            # bit-identical and compiles small programs, so it is the bs
+            # default.  NGM_SHARD_LOOP=scan forces the fused program.
+            mode = "host"
+        if mode != "host" and not getattr(self, "_scan_fallback", False):
             try:
                 return map_step_sharded_scan(
                     *self._shard_stack, self._base, self._clo, self._chi,
