@@ -173,16 +173,21 @@ class NgmConfig:
             collapsed = self.bs_mapping
         buckets = (3.0 if collapsed else 4.0) ** self.kmer
         exp_row = n_positions / buckets
-        # the cap covers BOTH strands (2x kmers_per_read lookups); 1.5x the
-        # expected row length covers the Poisson tail (validated on a
-        # chr20-scale genome where 1.25x still overflowed).  The ceiling
-        # bounds the compaction tensors; if the estimate exceeds it
-        # (gigabase genome at k=13), raise k to 14 or shard the index — the
-        # overflow counters make the truncation loud.  Collapsed tables get
-        # a higher ceiling: their denser rows are the norm, not a repeat
-        # pathology, and the sort-based compaction handles large H
+        # the cap covers BOTH strands (2x kmers_per_read lookups).  1.25x the
+        # expected row length: r3 measured on chip at chr20 scale that the
+        # tighter cap (H=192 vs the old 1.5x's 256) keeps truth accuracy
+        # IDENTICAL at both 2% and 10% SNPs (4095/4096 and 4016/4096) while
+        # the step runs ~25% faster — reads that overflow the cap are repeat-
+        # dense and keep enough interleaved hits at their true locus, and
+        # high-divergence reads produce FEWER hits, not more (103 capped
+        # rows at 10% SNPs vs 9837 at 2%).  Truncation is always counted
+        # (kmer_fanout_overflow), never silent.  The ceiling bounds the
+        # compaction tensors; if the estimate exceeds it (gigabase genome at
+        # k=13), raise k to 14 or shard the index.  Collapsed (bisulfite)
+        # tables get a higher ceiling: their denser rows are the norm, and
+        # the sort-based compaction handles large H
         ceil = 4608 if collapsed else 2048
-        per_row = min(float(self.max_kmer_fanout), max(1.25, 1.5 * exp_row))
+        per_row = min(float(self.max_kmer_fanout), max(1.25, 1.25 * exp_row))
         est = 2 * self.kmers_per_read(read_len) * per_row
         return max(128, min(ceil, _round_up(int(est), 64)))
 

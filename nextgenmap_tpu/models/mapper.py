@@ -1119,16 +1119,25 @@ class Mapper:
             off, pos = self.index.device_arrays()
             self._off_dev = jax.device_put(jnp.asarray(off))
             self._pos_dev = jax.device_put(jnp.asarray(pos))
-        # pack (o0, row length) into one uint32 table when the index is small
-        # enough — halves the CS offset gathers, the measured hot spot
-        from nextgenmap_tpu.ops.candidate import pack_offsets
+        # packed (o0<<6|len) uint32 offsets looked like a win through
+        # dispatched timing in round 1, but true in-program device timing
+        # (round 3, tools/probe_config2 canonical/packed A/B) showed the
+        # uint32 packed-table gather costs ~45 ms/batch at chr20 scale while
+        # the plain two-int32-gather path costs ~0.5 ms — a ~90x device-time
+        # regression the async dispatch pipeline had been masking.  Packing
+        # is now opt-in for re-measurement only.
+        import os as _os
 
-        packed = pack_offsets(
-            self._off_dev, self.cfg.max_kmer_freq, self.cfg.max_kmer_fanout
-        )
-        self._packed_offsets = packed is not None
-        if packed is not None:
-            self._off_dev = packed
+        self._packed_offsets = False
+        if _os.environ.get("NGM_PACK_OFFSETS") == "1":
+            from nextgenmap_tpu.ops.candidate import pack_offsets
+
+            packed = pack_offsets(
+                self._off_dev, self.cfg.max_kmer_freq, self.cfg.max_kmer_fanout
+            )
+            self._packed_offsets = packed is not None
+            if packed is not None:
+                self._off_dev = packed
         mats_np = np.stack([score_matrix(self.cfg, 0), score_matrix(self.cfg, 1)])
         self._matrices = jnp.asarray(mats_np)
         from nextgenmap_tpu.ops.scoring import matrices_are_simple

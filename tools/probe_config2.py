@@ -32,7 +32,7 @@ N_BATCHES = int(os.environ.get("NGM_PROBE_N", 8))
 SNP_RATE = float(os.environ.get("NGM_PROBE_SNP", 0.02))
 FORCE_H = int(os.environ.get("NGM_PROBE_H", 0))  # 0 = auto
 CANON = os.environ.get("NGM_PROBE_CANON", "1") == "1"
-PACKED = os.environ.get("NGM_PROBE_PACKED", "1") == "1"  # only with CANON
+PACKED = os.environ.get("NGM_PROBE_PACKED", "0") == "1"  # retired in prod (45 ms/batch uint32-gather tax)
 
 
 def log(*a):

@@ -61,7 +61,8 @@ def main() -> None:
     )
     jax.block_until_ready(pos_d)
     log(f"index: {time.time()-t0:.1f}s ({pos_d.shape[0]} positions)")
-    packed = pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+    packed = (pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+              if os.environ.get("NGM_PROBE_PACKED", "0") == "1" else None)
     packed_offsets = packed is not None
     if packed_offsets:
         off_d = packed

@@ -62,7 +62,8 @@ def main() -> None:
         genome_d, k=cfg.kmer, skip=cfg.kmer_skip, canonical=True
     )
     jax.block_until_ready(pos_d)
-    packed = pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+    packed = (pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+              if os.environ.get("NGM_PROBE_PACKED", "0") == "1" else None)
     packed_offsets = packed is not None
     if packed_offsets:
         off_d = packed
@@ -93,30 +94,33 @@ def main() -> None:
         # fold so nothing is DCE'd
         return (jnp.sum(c & 0xFF), jnp.sum(f), jnp.sum(ok))
 
-    def stage_cs(reads):
+    # genome/index tables must be ARGUMENTS of the jitted scan, not closure
+    # captures — captured arrays serialize into the remote-compile payload
+    # (HTTP 413 at these table sizes)
+    def stage_cs(g, off, pos, reads):
         out = _candidates(
-            genome_d, off_d, pos_d, reads, lens_d, sens, mf, **statics
+            g, off, pos, reads, lens_d, sens, mf, **statics
         )
         corr, strand, valid, score, n, rc, best, ovf, extra = out
         return (jnp.sum(corr & 0xFF), jnp.sum(strand), jnp.sum(n),
                 jnp.sum(best))
 
-    def stage_csq(reads):
+    def stage_csq(g, off, pos, reads):
         from nextgenmap_tpu.ops.candidate import _compact_hits
         canon, flip, ok = extract_kmers_canonical(
             reads, lens_d, cfg.kmer, stride=cfg.read_kmer_skip
         )
         pos_e, qid, valid, fo, ho, yflip = _compact_hits(
-            canon, ok, off_d, pos_d, mf,
+            canon, ok, off, pos, mf,
             fanout_cap=cfg.max_kmer_fanout, hit_cap=H,
             packed_offsets=packed_offsets, payload=flip,
         )
         return (jnp.sum(pos_e & 0xFF), jnp.sum(qid & 0xFF),
                 jnp.sum(valid), fo, ho)
 
-    def stage_full(reads):
+    def stage_full(g, off, pos, reads):
         r = map_step(
-            genome_d, off_d, pos_d, reads, lens_d, mats_d,
+            g, off, pos, reads, lens_d, mats_d,
             jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),
             jnp.int32(cfg.gap_extend_penalty), sens, mf,
             jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
@@ -124,7 +128,10 @@ def main() -> None:
         )
         return (jnp.sum(r.pos & 0xFF), jnp.sum(r.mapped), jnp.sum(r.score))
 
-    fn = {"kmers": stage_kmers, "cs": stage_cs, "csq": stage_csq,
+    def stage_kmers_a(g, off, pos, reads):
+        return stage_kmers(reads)
+
+    fn = {"kmers": stage_kmers_a, "cs": stage_cs, "csq": stage_csq,
           "full": stage_full}[STAGE]
 
     full = codes.reshape(2 * N_BATCHES, BATCH, READ_LEN)
@@ -133,18 +140,18 @@ def main() -> None:
     jax.block_until_ready([warm, timed])
 
     @jax.jit
-    def run_scan(stk):
+    def run_scan(g, off, pos, stk):
         def body(c, reads):
-            return c, fn(reads)
+            return c, fn(g, off, pos, reads)
         _, outs = jax.lax.scan(body, 0, stk)
         return outs
 
     t0 = time.time()
-    out = run_scan(warm)
+    out = run_scan(genome_d, off_d, pos_d, warm)
     jax.block_until_ready(out)
     log(f"compile+first sweep: {time.time()-t0:.1f}s")
     t0 = time.time()
-    out = run_scan(timed)
+    out = run_scan(genome_d, off_d, pos_d, timed)
     jax.block_until_ready(out)
     dt = time.time() - t0
     print(json.dumps({
