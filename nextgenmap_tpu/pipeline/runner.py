@@ -409,6 +409,58 @@ def _start_fetch(res):
     return res
 
 
+class _PoolEmitter:
+    """Parallel render, ORDERED commit (the writer-mutex analog scaled out).
+
+    N pool workers run render(args) -> rendered concurrently (the native SAM
+    formatter releases the GIL, so renders truly overlap); one committer
+    thread applies commit(rendered, args) strictly in submit order, so the
+    output file is byte-identical to the serial emitter.  With the device
+    step no longer the bottleneck (round 3), host-side formatting is — this
+    splits it across -t threads while keeping writes and resume bookkeeping
+    sequential.
+    """
+
+    def __init__(self, workers: int, render, commit):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+        self.q: "queue.Queue" = queue.Queue(maxsize=workers + 2)
+        self.render, self.commit = render, commit
+        self.err: BaseException | None = None
+        self.t = threading.Thread(target=self._run, daemon=True)
+        self.t.start()
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            fut, args = item
+            try:
+                if self.err is None:
+                    self.commit(fut.result(), args)
+                else:
+                    fut.cancel()
+            except BaseException as e:  # surfaced on next submit/close
+                self.err = e
+
+    def submit(self, fn_ignored, args) -> None:
+        if self.err:
+            raise self.err
+        fut = self.pool.submit(self.render, args)
+        self.q.put((fut, args))
+
+    def close(self) -> None:
+        self.q.put(None)
+        self.t.join()
+        self.pool.shutdown(wait=True)
+        if self.err:
+            raise self.err
+
+
 class _Emitter:
     """Emission stage of the software pipeline (the reference's writer-thread
     analog, ref:src/FileWriter.cpp).
@@ -809,7 +861,22 @@ def run_mapping(
             flush(group)
         emitter.close()
 
-    emitter = _Emitter(async_=cfg.threads > 1)
+    def shim_writer():
+        """A writer clone that renders into a buffer (parallel-safe); the
+        ordered committer writes the buffer to the real sink."""
+        import dataclasses as _dc
+        import io as _io
+
+        return _dc.replace(writer, out=_io.StringIO()), MappingStats()
+
+    def make_emitter(render=None, commit=None):
+        if (render is not None and cfg.threads >= 3
+                and cfg.megabatch <= 1):
+            log.info("parallel emitter pool (%d render workers)",
+                     cfg.threads - 1)
+            return _PoolEmitter(cfg.threads - 1, render, commit)
+        return _Emitter(async_=cfg.threads > 1)
+
     if cfg.threads > 1:
         log.info("emitter thread enabled (-t %d)", cfg.threads)
     prefetch_depth = max(2, cfg.threads)
@@ -835,6 +902,24 @@ def run_mapping(
                 emit_single(writer, batch, res, stats)
                 after_emit(res, batch)
 
+        def render_se(pending):
+            batch, res = pending
+            shim, dst = shim_writer()
+            emit_single(shim, batch, res, dst)
+            return shim.out.getvalue(), dst
+
+        def commit_se(rendered, pending):
+            batch, res = pending
+            text, dst = rendered
+            t0 = time.perf_counter()
+            writer.out.write(text)
+            stats.add_time("write", time.perf_counter() - t0)
+            stats.merge_counters(dst)
+            after_emit(res, batch)
+
+        emitter = make_emitter(
+            *( (render_se, commit_se) if topn == 1 else (None, None) )
+        )
         if cfg.megabatch > 1 and topn == 1 and mapper.supports_megabatch():
             run_megabatched(
                 _prefetch(batches, depth=prefetch_depth, stats=stats),
@@ -873,6 +958,22 @@ def run_mapping(
             emit_paired(writer, pb, pr, stats)
             after_emit(pr, pb)
 
+        def render_pe(pending):
+            pb, pr = pending
+            shim, dst = shim_writer()
+            emit_paired(shim, pb, pr, dst)
+            return shim.out.getvalue(), dst
+
+        def commit_pe(rendered, pending):
+            pb, pr = pending
+            text, dst = rendered
+            t0 = time.perf_counter()
+            writer.out.write(text)
+            stats.add_time("write", time.perf_counter() - t0)
+            stats.merge_counters(dst)
+            after_emit(pr, pb)
+
+        emitter = make_emitter(render_pe, commit_pe)
         if cfg.megabatch > 1 and mapper.supports_megabatch():
             run_megabatched(
                 _prefetch(batches, depth=prefetch_depth, stats=stats),
