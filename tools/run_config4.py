@@ -115,15 +115,19 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.time()
-    p = subprocess.run(args, env=env, capture_output=True, text=True,
-                       timeout=int(os.environ.get("NGM_C4_TIMEOUT", 5400)))
+    # STREAM the CLI's stderr to a sidecar so a timeout doesn't lose all
+    # progress evidence (the bs x shards runs are long)
+    side = f"{WS}/cli-{MODE}.log"
+    with open(side, "w") as sf:
+        p = subprocess.run(args, env=env, stdout=sf, stderr=sf, text=True,
+                           timeout=int(os.environ.get("NGM_C4_TIMEOUT", 5400)))
     wall = time.time() - t0
-    sys.stderr.write(p.stdout[-4000:] + p.stderr[-4000:])
+    sys.stderr.write(open(side).read()[-4000:])
     if p.returncode != 0:
         print(json.dumps({"mode": MODE, "error": p.returncode}))
         return
     # streaming rate: parse the progress R/S of the final log lines
-    rs = re.findall(r"\((\d+) reads/s", p.stderr + p.stdout)
+    rs = re.findall(r"\((\d+) reads/s", open(side).read())
     # truth accuracy from the SAM
     span = GBP // N_CHROM
     n = mapped = ok = 0
