@@ -88,53 +88,66 @@ def main() -> None:
         jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
     )
 
-    def run(batch_codes):
-        return map_step(
-            genome_d, off_d, pos_d, batch_codes, lens_d, mats_d, *scal, **statics
-        )
+    # MEASUREMENT PROTOCOL (round 3): one lax.scan program over the N
+    # stacked batches, timed INCLUDING the device->host fetch of every
+    # output.  Rationale: through this sandbox's relay, block_until_ready
+    # does NOT wait for execution (a 137-GFLOP matmul "completed" in 0.05 ms
+    # under it — tools notes in BASELINE.md), so dispatched-loop timings are
+    # meaningless in both directions; only a D2H fetch is a true sync.  The
+    # scan amortizes the relay's fixed per-fetch round-trip over N batches.
+    @jax.jit
+    def run_scan(genome, off, pos, stk):
+        def body(c, batch_codes):
+            r = map_step(
+                genome, off, pos, batch_codes, lens_d, mats_d, *scal,
+                **statics,
+            )
+            return c, r
+        return jax.lax.scan(body, 0, stk)[1]
 
-    # warmup/compile
-    t0 = time.time()
-    first = run(jnp.asarray(codes[:BATCH]))
-    jax.block_until_ready(first)
-    log(f"compile+first batch: {time.time() - t0:.1f}s")
+    def fetch(x):
+        return jax.tree_util.tree_map(np.asarray, x)
 
-    # timed loop.  Batches are pre-staged on device: the production runner
-    # double-buffers host->device transfers behind the compute step, so the
-    # steady-state metric is the device step; this sandbox reaches the chip
-    # through a network tunnel whose transfer latency no real deployment has.
-    staged = [
-        jax.device_put(jnp.asarray(codes[b * BATCH : (b + 1) * BATCH]))
-        for b in range(N_BATCHES)
-    ]
-    jax.block_until_ready(staged)
+    warm_codes, _, _ = simulate_reads_fast(
+        g, BATCH * N_BATCHES, read_len=READ_LEN, snp_rate=SNP_RATE, seed=3
+    )
+    warm = jax.device_put(
+        jnp.asarray(warm_codes.reshape(N_BATCHES, BATCH, READ_LEN))
+    )
+    timed = jax.device_put(
+        jnp.asarray(codes.reshape(N_BATCHES, BATCH, READ_LEN))
+    )
+    jax.block_until_ready([warm, timed])
     t0 = time.time()
-    results = [run(batch) for batch in staged]
-    jax.block_until_ready(results)
+    fetch(run_scan(genome_d, off_d, pos_d, warm))
+    log(f"compile+warm sweep: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    res = fetch(run_scan(genome_d, off_d, pos_d, timed))
     dt = time.time() - t0
-    mapped = sum(int(np.asarray(r.mapped).sum()) for r in results)
+    mapped = int(res.mapped.sum())
     n_reads = BATCH * N_BATCHES
     rps = n_reads / dt
 
     # DP cells for GCUPS: both strands scored over C candidates is the actual
     # compute; count cells actually executed (score pass over all candidates
     # + traceback pass over the winner)
-    n_cands = sum(int(np.asarray(r.n_candidates).sum()) for r in results)
+    n_cands = int(res.n_candidates.sum())
     cells = (n_cands + n_reads) * READ_LEN * band
     gcups = cells / dt / 1e9
 
-    # accuracy audit (not part of the metric, but printed for honesty)
-    r0 = results[0]
-    p = np.asarray(r0.pos)[: BATCH]
-    st = np.asarray(r0.strand)[:BATCH]
-    ok = (
-        np.asarray(r0.mapped)[:BATCH]
-        & (np.abs(p.astype(np.int64) - truth_pos[:BATCH]) <= 5)
-        & (st == truth_strand[:BATCH])
-    ).sum()
+    # accuracy audit over EVERY batch (not part of the metric, printed for
+    # honesty)
+    p = res.pos.reshape(-1).astype(np.int64)
+    st = res.strand.reshape(-1)
+    ok = int((
+        res.mapped.reshape(-1)
+        & (np.abs(p - truth_pos) <= 5)
+        & (st == truth_strand)
+    ).sum())
     log(
         f"reads/s: {rps:.0f}  GCUPS: {gcups:.2f}  mapped: {mapped}/{n_reads}"
-        f"  first-batch truth accuracy: {int(ok)}/{BATCH}"
+        f"  truth accuracy (all batches): {ok}/{n_reads}"
+        f"  wall: {dt*1e3:.1f} ms / {N_BATCHES} batches"
     )
 
     print(json.dumps({

@@ -110,15 +110,20 @@ def main() -> None:
     jax.block_until_ready(results)
     dt = time.time() - t0
 
-    r0 = results[0]
-    p = np.asarray(r0.pos)
-    ok = int((
-        np.asarray(r0.mapped)
-        & (np.abs(p.astype(np.int64) - truth_pos[:BATCH]) <= 5)
-        & (np.asarray(r0.strand) == truth_strand[:BATCH])
-    ).sum())
+    # accuracy of EVERY batch: if the relay ever elides an execution, stale/
+    # wrong later batches must show up here, not hide behind batch 0
+    accs = []
+    for b, r in enumerate(results):
+        lo = b * BATCH
+        p = np.asarray(r.pos)
+        accs.append(int((
+            np.asarray(r.mapped)
+            & (np.abs(p.astype(np.int64) - truth_pos[lo:lo + BATCH]) <= 5)
+            & (np.asarray(r.strand) == truth_strand[lo:lo + BATCH])
+        ).sum()))
+    ok = accs[0]
     n = BATCH * N_BATCHES
-    log(f"truth accuracy first batch: {ok}/{BATCH}")
+    log(f"truth accuracy per batch: {accs}")
     hov = sum(int(r.fanout_overflow) for r in results)
     cov = sum(int(r.cmr_overflow) for r in results)
     print(json.dumps({
@@ -126,7 +131,7 @@ def main() -> None:
         "canonical": CANON, "packed": packed_offsets,
         "ms_per_batch": round(dt / N_BATCHES * 1e3, 2),
         "reads_per_sec": round(n / dt, 1),
-        "acc_first_batch": ok,
+        "acc_per_batch": accs,
         "overflows_kmer_cmr": [hov, cov],
     }))
 

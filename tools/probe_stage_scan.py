@@ -146,17 +146,22 @@ def main() -> None:
         _, outs = jax.lax.scan(body, 0, stk)
         return outs
 
+    def fetch(x):
+        # block_until_ready is a NO-OP through this relay (physics probe:
+        # a 137-GFLOP matmul "completed" in 0.05 ms); only a D2H fetch
+        # truly waits, so the timed window fetches every output
+        return jax.tree_util.tree_map(np.asarray, x)
+
     t0 = time.time()
-    out = run_scan(genome_d, off_d, pos_d, warm)
-    jax.block_until_ready(out)
+    out = fetch(run_scan(genome_d, off_d, pos_d, warm))
     log(f"compile+first sweep: {time.time()-t0:.1f}s")
     t0 = time.time()
-    out = run_scan(genome_d, off_d, pos_d, timed)
-    jax.block_until_ready(out)
+    out = fetch(run_scan(genome_d, off_d, pos_d, timed))
     dt = time.time() - t0
     print(json.dumps({
         "stage": STAGE, "H": H, "n_batches": N_BATCHES,
         "ms_per_batch": round(dt / N_BATCHES * 1e3, 3),
+        "wall_ms": round(dt * 1e3, 1),
     }))
 
 
