@@ -1283,14 +1283,14 @@ class Mapper:
             )
             self._shard_args = None
         elif self.n_devices == 1:
-            # stacked shard arrays: the whole sequential loop runs as ONE
-            # scan program (map_step_sharded_scan) — per-shard rows for the
-            # topn / host-loop paths are sliced lazily (_shard_list)
-            self._shard_stack = (
-                jax.device_put(jnp.asarray(sidx.genome)),
-                jax.device_put(jnp.asarray(sidx.offsets)),
-                jax.device_put(jnp.asarray(sidx.positions)),
-            )
+            # Device placement is LAZY and exclusive per mode: the fused scan
+            # uses ONE stacked array; the host loop / topn paths use
+            # per-shard buffers.  Materializing both (the old "slice the
+            # stack" _shard_list) doubled HBM and stalled/OOMed the
+            # bisulfite x 4-shard gigabase config (~14.6 GB of tables on a
+            # 16 GB chip).
+            self._shard_stack_np = (sidx.genome, sidx.offsets, sidx.positions)
+            self._shard_stack = None
             self._shard_args = "seq"   # sentinel: sequential one-device mode
             self._shard_list_cache = None
         else:
@@ -1352,7 +1352,7 @@ class Mapper:
         if mode != "host" and not getattr(self, "_scan_fallback", False):
             try:
                 return map_step_sharded_scan(
-                    *self._shard_stack, self._base, self._clo, self._chi,
+                    *self._stack(), self._base, self._clo, self._chi,
                     reads, lens, *scalars, *pair_args,
                     paired=paired, read_len=self.read_len, **self._statics(),
                 )
@@ -1394,13 +1394,28 @@ class Mapper:
             paired=paired, read_len=self.read_len,
         )
 
+    def _stack(self):
+        """Device-resident stacked shard arrays (fused-scan path), lazy."""
+        if self._shard_stack is None:
+            g, o, p = self._shard_stack_np
+            self._shard_stack = (
+                jax.device_put(jnp.asarray(g)),
+                jax.device_put(jnp.asarray(o)),
+                jax.device_put(jnp.asarray(p)),
+            )
+        return self._shard_stack
+
     def _shard_list(self):
         """Per-shard (genome, offsets, positions) device rows for the topn
-        and host-loop paths (sliced lazily from the stacked arrays)."""
+        and host-loop paths — device_put from the HOST arrays, never sliced
+        out of the device stack (that would hold both and double HBM)."""
         if self._shard_list_cache is None:
-            g, o, p = self._shard_stack
+            g, o, p = self._shard_stack_np
             self._shard_list_cache = [
-                (g[s], o[s], p[s]) for s in range(g.shape[0])
+                (jax.device_put(jnp.asarray(g[s])),
+                 jax.device_put(jnp.asarray(o[s])),
+                 jax.device_put(jnp.asarray(p[s])))
+                for s in range(g.shape[0])
             ]
         return self._shard_list_cache
 
