@@ -58,10 +58,14 @@ def main() -> None:
     )
     jax.block_until_ready(pos_d)
     log(f"index built on device in {time.time() - t0:.1f}s ({pos_d.shape[0]} positions)")
-    # plain int32 offsets, as the production Mapper uses: the uint32 packed
-    # table's gather costs ~45 ms/batch of device time at chr20 scale
-    # (round-3 in-program A/B) — packing is retired
-    packed_offsets = False
+    # single-gather packed offsets, as the production Mapper uses (truth-
+    # protocol A/B: packed 34.7 vs unpacked 39.5 ms/batch at chr20 scale)
+    from nextgenmap_tpu.ops.candidate import pack_offsets
+
+    packed = pack_offsets(off_d, cfg.max_kmer_freq, cfg.max_kmer_fanout)
+    packed_offsets = packed is not None
+    if packed_offsets:
+        off_d = packed
 
     codes, truth_pos, truth_strand = simulate_reads_fast(
         g, BATCH * N_BATCHES, read_len=READ_LEN, snp_rate=SNP_RATE, seed=2

@@ -1119,17 +1119,18 @@ class Mapper:
             off, pos = self.index.device_arrays()
             self._off_dev = jax.device_put(jnp.asarray(off))
             self._pos_dev = jax.device_put(jnp.asarray(pos))
-        # packed (o0<<6|len) uint32 offsets looked like a win through
-        # dispatched timing in round 1, but true in-program device timing
-        # (round 3, tools/probe_config2 canonical/packed A/B) showed the
-        # uint32 packed-table gather costs ~45 ms/batch at chr20 scale while
-        # the plain two-int32-gather path costs ~0.5 ms — a ~90x device-time
-        # regression the async dispatch pipeline had been masking.  Packing
-        # is now opt-in for re-measurement only.
+        # pack (o0, row length) into one uint32 table when the index is
+        # small enough — halves the CS offset gathers.  Round-3 note: mid-
+        # round dispatched-loop timings through this environment's relay
+        # made packing look like a catastrophic regression (and then like a
+        # 90x win in the other direction); the TRUSTWORTHY fetch-inclusive
+        # in-program protocol (BASELINE.md) settled it at packed 34.7 vs
+        # unpacked 39.5 ms/batch at chr20 scale — a real ~12% win.
+        # NGM_PACK_OFFSETS=0 disables for A/B.
         import os as _os
 
         self._packed_offsets = False
-        if _os.environ.get("NGM_PACK_OFFSETS") == "1":
+        if _os.environ.get("NGM_PACK_OFFSETS", "1") != "0":
             from nextgenmap_tpu.ops.candidate import pack_offsets
 
             packed = pack_offsets(
