@@ -1411,13 +1411,24 @@ class Mapper:
         and host-loop paths — device_put from the HOST arrays, never sliced
         out of the device stack (that would hold both and double HBM)."""
         if self._shard_list_cache is None:
+            import time as _t
+
+            from nextgenmap_tpu.utils.logging import get_logger
+
+            log = get_logger("ngm-tpu.map")
             g, o, p = self._shard_stack_np
-            self._shard_list_cache = [
-                (jax.device_put(jnp.asarray(g[s])),
-                 jax.device_put(jnp.asarray(o[s])),
-                 jax.device_put(jnp.asarray(p[s])))
-                for s in range(g.shape[0])
-            ]
+            rows = []
+            for s in range(g.shape[0]):
+                t0 = _t.time()
+                row = (jax.device_put(jnp.asarray(g[s])),
+                       jax.device_put(jnp.asarray(o[s])),
+                       jax.device_put(jnp.asarray(p[s])))
+                jax.block_until_ready(row)
+                nbytes = g[s].nbytes + o[s].nbytes + p[s].nbytes
+                log.info("shard %d tables -> device: %.1f GB in %.0fs",
+                         s, nbytes / (1 << 30), _t.time() - t0)
+                rows.append(row)
+            self._shard_list_cache = rows
         return self._shard_list_cache
 
     def _common_args(self, codes, lengths):
