@@ -34,7 +34,7 @@ from nextgenmap_tpu.ops.scoring import matrices_are_simple, score_matrix
 GENOME_SIZE = 4_600_000   # E. coli K-12 scale
 READ_LEN = 100
 BATCH = 4096
-N_BATCHES = 12            # 49k reads timed
+N_BATCHES = 36            # two-point fit: walls at 12 and 36 batches
 SNP_RATE = 0.02
 BASELINE_READS_PER_SEC = 15_000.0
 
@@ -92,66 +92,86 @@ def main() -> None:
         jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
     )
 
-    # MEASUREMENT PROTOCOL (round 3): one lax.scan program over the N
-    # stacked batches, timed INCLUDING the device->host fetch of every
-    # output.  Rationale: through this sandbox's relay, block_until_ready
-    # does NOT wait for execution (a 137-GFLOP matmul "completed" in 0.05 ms
-    # under it — tools notes in BASELINE.md), so dispatched-loop timings are
-    # meaningless in both directions; only a D2H fetch is a true sync.  The
-    # scan amortizes the relay's fixed per-fetch round-trip over N batches.
-    @jax.jit
-    def run_scan(genome, off, pos, stk):
-        def body(c, batch_codes):
-            r = map_step(
-                genome, off, pos, batch_codes, lens_d, mats_d, *scal,
-                **statics,
-            )
-            return c, r
-        return jax.lax.scan(body, 0, stk)[1]
+    # MEASUREMENT PROTOCOL (round 3): lax.scan programs over stacked
+    # batches, timed INCLUDING the device->host fetch, with REDUCED outputs
+    # (per-batch counters computed in-program, including the truth check) so
+    # the fetch is bytes, not results.  Rationale, measured in this sandbox:
+    # (1) block_until_ready does NOT wait for execution through the relay (a
+    # 137-GFLOP matmul "completed" in 0.05 ms under it), so only a D2H fetch
+    # is a true sync; (2) the relay's D2H moves ~10-30 MB/s, so fetching
+    # full per-read results times the TRANSFER, not the device; (3) a fixed
+    # per-program-fetch round-trip (~70 ms) remains, so the metric is the
+    # MARGINAL per-batch time from a two-point fit (N1 and N2 batches).
+    truth_pos_d = jnp.asarray(truth_pos.reshape(N_BATCHES, BATCH))
+    truth_strand_d = jnp.asarray(truth_strand.reshape(N_BATCHES, BATCH))
+
+    def make_scan():
+        @jax.jit
+        def run_scan(genome, off, pos, stk, tp, ts):
+            def body(c, xs):
+                batch_codes, tpb, tsb = xs
+                r = map_step(
+                    genome, off, pos, batch_codes, lens_d, mats_d, *scal,
+                    **statics,
+                )
+                ok = (
+                    r.mapped
+                    & (jnp.abs(r.pos - tpb) <= 5)
+                    & (r.strand == tsb)
+                )
+                return c, (jnp.sum(r.mapped), jnp.sum(ok),
+                           jnp.sum(r.n_candidates))
+            return jax.lax.scan(body, 0, (stk, tp, ts))[1]
+        return run_scan
+
+    run_scan = make_scan()
 
     def fetch(x):
         return jax.tree_util.tree_map(np.asarray, x)
 
+    stk_all = jax.device_put(
+        jnp.asarray(codes.reshape(N_BATCHES, BATCH, READ_LEN))
+    )
     warm_codes, _, _ = simulate_reads_fast(
         g, BATCH * N_BATCHES, read_len=READ_LEN, snp_rate=SNP_RATE, seed=3
     )
     warm = jax.device_put(
         jnp.asarray(warm_codes.reshape(N_BATCHES, BATCH, READ_LEN))
     )
-    timed = jax.device_put(
-        jnp.asarray(codes.reshape(N_BATCHES, BATCH, READ_LEN))
-    )
-    jax.block_until_ready([warm, timed])
-    t0 = time.time()
-    fetch(run_scan(genome_d, off_d, pos_d, warm))
-    log(f"compile+warm sweep: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    res = fetch(run_scan(genome_d, off_d, pos_d, timed))
-    dt = time.time() - t0
-    mapped = int(res.mapped.sum())
+    jax.block_until_ready([stk_all, warm])
+
+    N1 = N_BATCHES // 3
+    walls = {}
+    outs = {}
+    for n in (N1, N_BATCHES):
+        args = (genome_d, off_d, pos_d, stk_all[:n], truth_pos_d[:n],
+                truth_strand_d[:n])
+        t0 = time.time()
+        fetch(run_scan(genome_d, off_d, pos_d, warm[:n], truth_pos_d[:n],
+                       truth_strand_d[:n]))
+        log(f"compile+warm sweep (N={n}): {time.time() - t0:.1f}s")
+        t0 = time.time()
+        outs[n] = fetch(run_scan(*args))
+        walls[n] = time.time() - t0
+
+    t_batch = (walls[N_BATCHES] - walls[N1]) / (N_BATCHES - N1)
+    fixed = walls[N1] - N1 * t_batch
+    mapped_n, ok_n, cand_n = outs[N_BATCHES]
+    mapped, ok, n_cands = int(mapped_n.sum()), int(ok_n.sum()), int(cand_n.sum())
     n_reads = BATCH * N_BATCHES
-    rps = n_reads / dt
+    rps = BATCH / t_batch
 
     # DP cells for GCUPS: both strands scored over C candidates is the actual
     # compute; count cells actually executed (score pass over all candidates
     # + traceback pass over the winner)
-    n_cands = int(res.n_candidates.sum())
     cells = (n_cands + n_reads) * READ_LEN * band
-    gcups = cells / dt / 1e9
+    gcups = cells / (t_batch * N_BATCHES) / 1e9
 
-    # accuracy audit over EVERY batch (not part of the metric, printed for
-    # honesty)
-    p = res.pos.reshape(-1).astype(np.int64)
-    st = res.strand.reshape(-1)
-    ok = int((
-        res.mapped.reshape(-1)
-        & (np.abs(p - truth_pos) <= 5)
-        & (st == truth_strand)
-    ).sum())
     log(
         f"reads/s: {rps:.0f}  GCUPS: {gcups:.2f}  mapped: {mapped}/{n_reads}"
         f"  truth accuracy (all batches): {ok}/{n_reads}"
-        f"  wall: {dt*1e3:.1f} ms / {N_BATCHES} batches"
+        f"  marginal: {t_batch*1e3:.2f} ms/batch  fixed fetch: {fixed*1e3:.0f} ms"
+        f"  walls: {walls[N1]*1e3:.1f}/{walls[N_BATCHES]*1e3:.1f} ms"
     )
 
     print(json.dumps({
