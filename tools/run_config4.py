@@ -103,6 +103,7 @@ def main():
             "-r", ref, "-q", fq, "-o", out,
             "-k", K, "--index-shards", SHARDS, "-t", "4",
             "--max-read-hits", os.environ.get("NGM_C4_H", "0"),
+            "--batch-size", os.environ.get("NGM_C4_B", "4096"),
             ]
     if MODE == "bs":
         args += ["--bs-mapping"]
