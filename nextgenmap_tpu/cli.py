@@ -221,10 +221,14 @@ def main(argv: list[str] | None = None) -> int:
                 a.reference, genome.codes, genome.sha1(),
                 k=a.kmer, skip=a.kmer_skip, max_freq=a.max_freq,
                 collapse=collapse,
-                # position-range sharding slices RAW positions; the
-                # unsharded fast path wants the canonical index
-                canonical=(collapse == "none" and not sharded
-                           and genome.codes.shape[0] < 2**30),
+                # both the unsharded fast path and position-range sharding
+                # use the canonical index (shards slice (pos<<1)|flip
+                # entries with doubled bounds); sharding tolerates global
+                # entries up to uint32 since per-shard rebasing restores
+                # int32
+                canonical=(collapse == "none" and genome.codes.shape[0]
+                           < (2**31 if sharded else 2**30)),
+                allow_u32=sharded,
             )
             for collapse in modes
         ]
@@ -246,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             path_for = lambda s: ShardedIndex.shard_cache_path(
                 a.reference, s, cfg.kmer, cfg.kmer_skip, cfg.index_shards,
                 halo, cfg.max_kmer_freq, dual=cfg.bs_mapping,
+                canonical=sidx.canonical,
             )
             sidx.save_shards(path_for, genome.sha1())
         return 0

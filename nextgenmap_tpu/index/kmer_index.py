@@ -131,12 +131,19 @@ class KmerIndex:
         collapse: str = "none",
         genome_sha1: str = "",
         canonical: bool = False,
+        allow_u32: bool = False,
     ) -> "KmerIndex":
         """Two-pass CSR build — native C passes when available (seconds for a
         gigabase genome, ref:src/CompactPrefixTable.cpp analog), vectorized
-        numpy otherwise (byte-identical arrays; asserted in tests)."""
+        numpy otherwise (byte-identical arrays; asserted in tests).
+
+        allow_u32: keep canonical (pos<<1|flip) entries up to genome 2^31 —
+        for consumers that never place the GLOBAL table on device (position-
+        range sharding rebases per-shard entries into int32; sharding is what
+        makes canonical usable at gigabase scale, not the other way around).
+        """
         assert not (canonical and collapse != "none"), "canonical excludes collapse"
-        if canonical and genome_codes.shape[0] >= 2**30:
+        if canonical and genome_codes.shape[0] >= (2**31 if allow_u32 else 2**30):
             canonical = False  # (pos<<1) must fit int32 on device
         n = genome_codes.shape[0]
         nb = 4**k
@@ -277,6 +284,7 @@ class KmerIndex:
         cls, fasta_path: str, genome_codes: np.ndarray, genome_sha1: str,
         k: int, skip: int, max_freq: int, collapse: str = "none",
         skip_save: bool = False, canonical: bool = False,
+        allow_u32: bool = False,
     ) -> "KmerIndex":
         cache = cls.cache_path(fasta_path, k, skip, collapse, canonical)
         if os.path.exists(cache):
@@ -286,7 +294,7 @@ class KmerIndex:
                 return idx
             log.warning("stale index cache (genome or params changed); rebuilding")
         idx = cls.build(genome_codes, k, skip, max_freq, collapse, genome_sha1,
-                        canonical=canonical)
+                        canonical=canonical, allow_u32=allow_u32)
         if not skip_save:
             try:
                 idx.save(cache)

@@ -1205,15 +1205,17 @@ class Mapper:
             sidx = ShardedIndex.build_dual(
                 *self.index, self.genome.codes, S, halo
             )
-        elif isinstance(self.index, KmerIndex) and not self.index.canonical:
+        elif isinstance(self.index, KmerIndex):
+            # canonical indexes slice fine: (pos<<1)|flip entries are
+            # monotone in pos, and the per-shard rebase restores int32
             halo = ShardedIndex.halo_for(cfg, self.read_len, paired=True)
             sidx = ShardedIndex.build(self.index, self.genome.codes, S, halo)
         else:
             raise ValueError(
-                "index sharding requires a host-built non-canonical KmerIndex"
+                "index sharding requires a host-built KmerIndex"
             )
         self._sharded = sidx
-        self._canonical = False
+        self._canonical = bool(getattr(sidx, "canonical", False))
         self._packed_offsets = False
         self._matrices_np = np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)])
         self._matrices = jnp.asarray(self._matrices_np)

@@ -56,20 +56,25 @@ def shard_ranges(G: int, n_shards: int, halo: int):
 
 
 def _shard_pos_counts(positions: np.ndarray, G: int, n_shards: int,
-                      halo: int) -> np.ndarray:
+                      halo: int, canonical: bool = False) -> np.ndarray:
     """Exact per-shard CSR entry counts (positions in [lo, hi)) in ONE
     histogram pass: shard ranges overlap by the halo, so counts come from
     non-overlapping boundary intervals summed per shard.  This is what lets
     a host that builds ONLY its own shard still pad to the global max width
-    (all processes must agree on array shapes for the global mesh)."""
+    (all processes must agree on array shapes for the global mesh).
+
+    canonical: entries are (pos << 1) | flip — monotone in pos, so doubling
+    the bin edges ranges over the same position intervals."""
     ranges = shard_ranges(G, n_shards, halo)
+    mul = 2 if canonical else 1
     edges = np.unique(
-        np.array([b for lo, hi, _, _ in ranges for b in (lo, hi)], np.int64)
+        np.array([b * mul for lo, hi, _, _ in ranges for b in (lo, hi)],
+                 np.int64)
     )
     hist, _ = np.histogram(positions, bins=edges)
     cum = np.zeros(edges.shape[0], np.int64)
     np.cumsum(hist, out=cum[1:])
-    at = lambda x: cum[np.searchsorted(edges, x)]
+    at = lambda x: cum[np.searchsorted(edges, x * mul)]
     return np.array([at(hi) - at(lo) for lo, hi, _, _ in ranges], np.int64)
 
 
@@ -79,9 +84,17 @@ def _slice_csr_shards(index: KmerIndex, G: int, n_shards: int, halo: int,
     int32) lists over the standard shard ranges.  Reuses the global CSR so
     repeat masking stays globally consistent — a shard never resurrects a
     globally over-frequent k-mer, which would break shard-count invariance.
-    shard_ids selects a subset (cross-host: each host slices only its own)."""
+    shard_ids selects a subset (cross-host: each host slices only its own).
+
+    Canonical CSRs ((pos << 1) | flip entries, monotone in pos) slice with
+    DOUBLED bounds; the rebase `entry - (lo << 1)` keeps the flip bit and
+    yields local canonical entries — which is what makes canonical k-mer
+    lookup (one gather serves both strands, the round-1 CS win) usable at
+    gigabase scale: per-shard local entries fit int32 even when the global
+    (pos << 1) would not."""
     from nextgenmap_tpu import native
 
+    mul = 2 if index.canonical else 1
     nb = index.n_buckets
     use_native = native.lib() is not None
     if not use_native:
@@ -98,13 +111,13 @@ def _slice_csr_shards(index: KmerIndex, G: int, n_shards: int, halo: int,
             # streams the CSR once per shard in C (the numpy repeat/
             # bincount route needs ~10 min + ~20 GB at 1.2B entries)
             off, local = native.shard_csr(index.offsets, index.positions,
-                                          lo, hi)
+                                          lo * mul, hi * mul)
         else:
-            m = (pos_all >= lo) & (pos_all < hi)
+            m = (pos_all >= lo * mul) & (pos_all < hi * mul)
             counts = np.bincount(row_id[m], minlength=nb)
             off = np.zeros(nb + 1, dtype=np.int64)
             np.cumsum(counts, out=off[1:])
-            local = (pos_all[m] - lo).astype(np.int32)
+            local = (pos_all[m] - lo * mul).astype(np.int32)
         offs.append(off.astype(np.int32))
         poss.append(local)
     return offs, poss
@@ -130,6 +143,8 @@ class ShardedIndex:
     max_freq: int = 0       # repeat-mask cap baked into the shard CSRs
     dual: bool = False      # bisulfite: CT + GA collapsed tables concatenated
                             # per shard (models/mapper.py dual-table layout)
+    canonical: bool = False  # positions are local (pos << 1) | flip entries
+                             # (one lookup serves both strands)
     shard_ids: np.ndarray | None = None
                             # cross-host subset: the global shard ids the S'
                             # rows of genome/offsets/positions hold (base/
@@ -155,11 +170,13 @@ class ShardedIndex:
         pm = None
         if shard_ids is not None:
             pm = int(
-                _shard_pos_counts(index.positions, G, n_shards, halo).max()
+                _shard_pos_counts(index.positions, G, n_shards, halo,
+                                  canonical=index.canonical).max()
             )
         return cls._assemble(genome_codes, n_shards, halo, offs, poss,
                              index.max_freq, dual=False,
-                             shard_ids=shard_ids, pm_global=pm)
+                             shard_ids=shard_ids, pm_global=pm,
+                             canonical=index.canonical)
 
     @classmethod
     def build_dual(
@@ -195,7 +212,7 @@ class ShardedIndex:
 
     @classmethod
     def _assemble(cls, genome_codes, n_shards, halo, offs, poss, max_freq,
-                  dual, shard_ids=None, pm_global=None):
+                  dual, shard_ids=None, pm_global=None, canonical=False):
         G = genome_codes.shape[0]
         ranges = shard_ranges(G, n_shards, halo)
         bases = [lo for lo, _, _, _ in ranges]
@@ -222,6 +239,7 @@ class ShardedIndex:
             core_hi=np.asarray(chi, np.uint32),
             max_freq=max_freq,
             dual=dual,
+            canonical=canonical,
             shard_ids=None if shard_ids is None else np.asarray(own, np.int32),
         )
 
@@ -251,17 +269,23 @@ class ShardedIndex:
 
     @staticmethod
     def cache_path(fasta_path: str, k: int, skip: int, n_shards: int,
-                   halo: int, max_freq: int, dual: bool = False) -> str:
+                   halo: int, max_freq: int, dual: bool = False,
+                   canonical: bool = False) -> str:
         # every parameter that changes the shard CSR bytes must key the
         # artifact: max_freq bakes repeat masking into the tables, so a
-        # stale cache would silently map with the wrong masking
+        # stale cache would silently map with the wrong masking; canonical
+        # changes the entry encoding ((pos<<1)|flip vs raw positions)
         bs = "-bs" if dual else ""
+        cn = "-c" if canonical else ""
         return (f"{fasta_path}.ngmt-shards-{k}-{skip}-s{n_shards}-h{halo}"
-                f"-f{max_freq}{bs}.v{ShardedIndex.SHARDS_VERSION}.npz")
+                f"-f{max_freq}{bs}{cn}.v{ShardedIndex.SHARDS_VERSION}.npz")
 
     def save(self, path: str, genome_sha1: str) -> None:
+        # 5th meta field (canonical) is appended so pre-existing 4-field
+        # artifacts stay loadable (absent => non-canonical)
         meta = (
             f"{self.n_shards}|{self.max_freq}|{int(self.dual)}|{genome_sha1}"
+            f"|{int(self.canonical)}"
         )
         np.savez(
             path, genome=self.genome, offsets=self.offsets,
@@ -274,10 +298,11 @@ class ShardedIndex:
     def load(cls, path: str, genome_sha1: str,
              max_freq: int | None = None) -> "ShardedIndex | None":
         with np.load(path) as z:
-            meta = bytes(z["meta"]).decode().split("|", 3)
-            if len(meta) != 4:      # older artifact layout: treat as stale
+            meta = bytes(z["meta"]).decode().split("|")
+            if len(meta) not in (4, 5):  # unknown layout: treat as stale
                 return None
-            n_shards, mf, dual, sha = meta
+            n_shards, mf, dual, sha = meta[:4]
+            canon = bool(int(meta[4])) if len(meta) == 5 else False
             if sha != genome_sha1:
                 return None
             if max_freq is not None and int(mf) != max_freq:
@@ -286,7 +311,7 @@ class ShardedIndex:
                 n_shards=int(n_shards), genome=z["genome"],
                 offsets=z["offsets"], positions=z["positions"],
                 base=z["base"], core_lo=z["core_lo"], core_hi=z["core_hi"],
-                max_freq=int(mf), dual=bool(int(dual)),
+                max_freq=int(mf), dual=bool(int(dual)), canonical=canon,
             )
 
     # -- per-shard artifacts (cross-host: a host memoizes/loads ONLY its own
@@ -295,10 +320,11 @@ class ShardedIndex:
     @staticmethod
     def shard_cache_path(fasta_path: str, s: int, k: int, skip: int,
                          n_shards: int, halo: int, max_freq: int,
-                         dual: bool = False) -> str:
+                         dual: bool = False, canonical: bool = False) -> str:
         bs = "-bs" if dual else ""
+        cn = "-c" if canonical else ""
         return (f"{fasta_path}.ngmt-shard{s}of{n_shards}-{k}-{skip}-h{halo}"
-                f"-f{max_freq}{bs}.v{ShardedIndex.SHARDS_VERSION}.npz")
+                f"-f{max_freq}{bs}{cn}.v{ShardedIndex.SHARDS_VERSION}.npz")
 
     def save_shards(self, path_for, genome_sha1: str) -> None:
         """Write one artifact per OWNED shard row (path_for(s) -> path).
@@ -309,7 +335,7 @@ class ShardedIndex:
                else self.shard_ids)
         for i, s in enumerate(own):
             meta = (f"{self.n_shards}|{self.max_freq}|{int(self.dual)}|"
-                    f"{genome_sha1}")
+                    f"{genome_sha1}|{int(self.canonical)}")
             np.savez(
                 path_for(int(s)),
                 genome=self.genome[i], offsets=self.offsets[i],
@@ -330,15 +356,17 @@ class ShardedIndex:
             if not os.path.exists(p):
                 return None
             with np.load(p) as z:
-                meta = bytes(z["meta"]).decode().split("|", 3)
-                if len(meta) != 4 or meta[3] != genome_sha1:
+                meta = bytes(z["meta"]).decode().split("|")
+                if len(meta) not in (4, 5) or meta[3] != genome_sha1:
                     return None
                 if max_freq is not None and int(meta[1]) != max_freq:
                     return None
                 rows.append({k: z[k] for k in z.files if k != "meta"}
                             | {"n_shards": int(meta[0]),
                                "max_freq": int(meta[1]),
-                               "dual": bool(int(meta[2]))})
+                               "dual": bool(int(meta[2])),
+                               "canonical": (bool(int(meta[4]))
+                                             if len(meta) == 5 else False)})
         r0 = rows[0]
         return cls(
             n_shards=r0["n_shards"],
@@ -347,6 +375,7 @@ class ShardedIndex:
             positions=np.stack([r["positions"] for r in rows]),
             base=r0["base"], core_lo=r0["core_lo"], core_hi=r0["core_hi"],
             max_freq=r0["max_freq"], dual=r0["dual"],
+            canonical=r0["canonical"],
             shard_ids=np.asarray(list(shard_ids), np.int32),
         )
 
@@ -365,10 +394,11 @@ def open_sharded(cfg: NgmConfig, ref_path: str, genome, index) -> ShardedIndex:
 
     log = get_logger("ngm-tpu.index")
     dual = isinstance(index, tuple)
+    canonical = (not dual) and getattr(index, "canonical", False)
     halo = ShardedIndex.halo_for(cfg)
     cache = ShardedIndex.cache_path(
         ref_path, cfg.kmer, cfg.kmer_skip, cfg.index_shards, halo,
-        cfg.max_kmer_freq, dual=dual,
+        cfg.max_kmer_freq, dual=dual, canonical=canonical,
     )
     if os.path.exists(cache):
         sidx = ShardedIndex.load(cache, genome.sha1(),
@@ -449,9 +479,12 @@ def open_sharded_local(cfg: NgmConfig, ref_path: str, genome,
     dual = cfg.bs_mapping
     halo = ShardedIndex.halo_for(cfg)
     S = cfg.index_shards
+    # canonical needs global (pos << 1) | flip to fit uint32 during the
+    # host build; past 2^31 bases the build falls back to raw positions
+    canonical = (not dual) and genome.codes.shape[0] < 2**31
     path_for = lambda s: ShardedIndex.shard_cache_path(
         ref_path, s, cfg.kmer, cfg.kmer_skip, S, halo, cfg.max_kmer_freq,
-        dual=dual,
+        dual=dual, canonical=canonical,
     )
     sidx = ShardedIndex.load_shards(
         [path_for(s) for s in shard_ids], shard_ids, genome.sha1(),
@@ -476,7 +509,7 @@ def open_sharded_local(cfg: NgmConfig, ref_path: str, genome,
         idx = KmerIndex.open(
             ref_path, genome.codes, genome.sha1(), k=cfg.kmer,
             skip=cfg.kmer_skip, max_freq=cfg.max_kmer_freq,
-            skip_save=cfg.skip_save, canonical=False,
+            skip_save=cfg.skip_save, canonical=True, allow_u32=True,
         )
         sidx = ShardedIndex.build(idx, genome.codes, S, halo,
                                   shard_ids=shard_ids)

@@ -69,13 +69,17 @@ def load_reference(cfg: NgmConfig, ref_path: str):
         ct, ga = try_load("ct"), try_load("ga")
         return genome, (ct, ga) if ct and ga else None
     if cfg.index_shards > 1:
-        # position-range sharding needs RAW (non-canonical) positions so the
-        # global CSR can be split by range (parallel/index_shard.py); built on
-        # the host and memoized like the reference's .ngm artifacts
+        # position-range sharding slices the host CSR by range; CANONICAL
+        # entries ((pos<<1)|flip, monotone in pos) slice just as well with
+        # doubled bounds, and the per-shard rebase brings them back into
+        # int32 — so shards get the one-lookup-serves-both-strands CS win
+        # (the round-1 canonical lever) even at gigabase scale.  Past 2^31
+        # bases the global entries no longer fit uint32; build falls back
+        # to raw positions (allow_u32 handles the [2^30, 2^31) window).
         idx = KmerIndex.open(
             ref_path, genome.codes, genome.sha1(),
             k=cfg.kmer, skip=cfg.kmer_skip, max_freq=cfg.max_kmer_freq,
-            skip_save=cfg.skip_save, canonical=False,
+            skip_save=cfg.skip_save, canonical=True, allow_u32=True,
         )
         return genome, idx
     idx = try_load("none")

@@ -224,6 +224,60 @@ def test_sharded_scan_paired_matches_single(setup):
     assert np.array_equal(np.asarray(single.score), np.asarray(scan.score))
 
 
+def test_canonical_sharded_matches_canonical_single(setup):
+    """CANONICAL index sharding (round-3: (pos<<1)|flip entries slice with
+    doubled bounds and rebase back into int32) — both the sequential scan
+    and the mesh path must equal the canonical global-index run."""
+    from nextgenmap_tpu.models.mapper import map_step_sharded_scan
+
+    s = setup
+    cidx = KmerIndex.build(s["g"], k=K, skip=2, max_freq=1000, canonical=True)
+    assert cidx.canonical
+    off, pos = cidx.device_arrays()
+    statics = dict(s["statics"], canonical=True)
+    args = se_args(s)
+    single = map_step(
+        args[0], jnp.asarray(off), jnp.asarray(pos), *args[3:], **statics
+    )
+    halo = ShardedIndex.halo_for(CFG, 100, paired=False)
+    sidx = ShardedIndex.build(cidx, s["g"], 3, halo)
+    assert sidx.canonical
+    shard_args = (
+        jnp.asarray(sidx.genome), jnp.asarray(sidx.offsets),
+        jnp.asarray(sidx.positions), jnp.asarray(sidx.base),
+        jnp.asarray(sidx.core_lo), jnp.asarray(sidx.core_hi),
+    )
+    scan = map_step_sharded_scan(
+        *shard_args, *args[3:], paired=False, read_len=100, **statics,
+    )
+    for f in ("mapped", "strand", "score", "ops", "mapq", "cmr_overflow"):
+        assert np.array_equal(
+            np.asarray(getattr(single, f)), np.asarray(getattr(scan, f))
+        ), f
+    assert np.array_equal(np.asarray(single.pos),
+                          np.asarray(scan.pos).astype(np.int64))
+    # canonical actually found the same reads as the non-canonical baseline
+    base = map_step(*se_args(s), **s["statics"])
+    assert np.asarray(single.mapped).sum() >= np.asarray(base.mapped).sum() - 1
+
+    sidx4 = ShardedIndex.build(cidx, s["g"], 4, halo)
+    mesh = make_mesh(8, index_shards=4)
+    fn = make_index_sharded_map_step(mesh, paired=False, read_len=100,
+                                     **statics)
+    sharded = fn(
+        jnp.asarray(sidx4.genome), jnp.asarray(sidx4.offsets),
+        jnp.asarray(sidx4.positions), jnp.asarray(sidx4.base),
+        jnp.asarray(sidx4.core_lo), jnp.asarray(sidx4.core_hi),
+        *args[3:],
+    )
+    for f in ("mapped", "strand", "score", "mapq"):
+        assert np.array_equal(
+            np.asarray(getattr(single, f)), np.asarray(getattr(sharded, f))
+        ), f
+    assert np.array_equal(np.asarray(single.pos),
+                          np.asarray(sharded.pos).astype(np.int64))
+
+
 def test_megabatch_scan_matches_separate_calls(setup):
     """map_step_scan over K stacked batches == K separate map_step calls,
     field for field (SE and PE) — the megabatch program is pure dispatch
