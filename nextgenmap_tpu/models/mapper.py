@@ -82,31 +82,12 @@ def revcomp_batch(codes: jax.Array) -> jax.Array:
     return jnp.where(flipped < 4, 3 - flipped, flipped).astype(codes.dtype)
 
 
-def _candidates(
-    genome, offsets, positions, reads, lengths, sensitivity, max_freq,
-    best_floor=None,
-    *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
-    read_stride=1, bs=False, bs_cutoff=0, cs_axis=None, packed_offsets=False,
-    canonical=False,
-):
-    """CS on both strands -> deterministically ordered candidate grid.
-
-    Candidate arrays are REORDERED by (strand asc, corridor start asc) so
-    later argmax/top_k selections tie-break per DESIGN.md rule 11; valid
-    candidates form a per-read PREFIX after the ordering.  Returns
-    (corr_start [B,C], strand [B,C], cand_valid [B,C], cs_score [B,C] the
-    bucket hit counts (0 where below the local threshold), n_cands [B],
-    rc [B,L] the left-shifted reverse-complement batch, best [B] best
-    bucket hit count, overflow pair).  best_floor (optional [B]) raises the
-    adaptive threshold to a cross-shard best computed outside (the
-    sequential index-shard loop's analog of the mesh path's pmax).
-    """
+def _pre_extract(reads, lengths, *, k, read_stride=1, bs=False, bs_cutoff=0,
+                 canonical=False):
+    """Read-only CS inputs (shifted rc + k-mer windows) — independent of the
+    index tables, so the sequential shard loop computes them ONCE and feeds
+    every shard's CS pass (S-1 redundant extractions removed)."""
     B, L = reads.shape
-    W = band
-    T = L + W
-    G = genome.shape[0]
-    bin_w = 1 << diag_bin_log2
-
     rc = revcomp_batch(reads)
     # the rc flip moves right-padding to the front for reads shorter than L;
     # shift each rc row left by (L - length) so rc reads start at column 0
@@ -116,18 +97,7 @@ def _candidates(
         jnp.pad(rc, ((0, 0), (0, L)), constant_values=4), idx, axis=1
     )
     if canonical and not bs:
-        # ONE canonical lookup per window covers both strands — halves the
-        # offset-table gathers, the measured CS hot spot on v5e
-        canon, flip, ok_c = extract_kmers_canonical(
-            reads, lengths, k, stride=read_stride
-        )
-        cand = candidate_search_canonical(
-            canon, flip, ok_c, lengths, offsets, positions,
-            sensitivity, max_freq, best_floor,
-            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
-            diag_bin_log2=diag_bin_log2, stride=read_stride,
-            axis_name=cs_axis, packed_offsets=packed_offsets,
-        )
+        kms = extract_kmers_canonical(reads, lengths, k, stride=read_stride)
     else:
         # bisulfite (SURVEY.md §2 component 22): the fwd pass is C->T
         # tolerant (read and index CT-collapsed); the rc pass is G->A
@@ -143,6 +113,57 @@ def _candidates(
             collapse="ga" if bs else "none",
             max_collapsed=bs_cutoff if bs else 0,
         )
+        kms = (km_f, ok_f, km_r, ok_r)
+    return rc, kms
+
+
+def _candidates(
+    genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+    best_floor=None, pre=None,
+    *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
+    read_stride=1, bs=False, bs_cutoff=0, cs_axis=None, packed_offsets=False,
+    canonical=False,
+):
+    """CS on both strands -> deterministically ordered candidate grid.
+
+    Candidate arrays are REORDERED by (strand asc, corridor start asc) so
+    later argmax/top_k selections tie-break per DESIGN.md rule 11; valid
+    candidates form a per-read PREFIX after the ordering.  Returns
+    (corr_start [B,C], strand [B,C], cand_valid [B,C], cs_score [B,C] the
+    bucket hit counts (0 where below the local threshold), n_cands [B],
+    rc [B,L] the left-shifted reverse-complement batch, best [B] best
+    bucket hit count, overflow pair).  best_floor (optional [B]) raises the
+    adaptive threshold to a cross-shard best computed outside (the
+    sequential index-shard loop's analog of the mesh path's pmax).
+    `pre` (optional) is the precomputed (rc, kmer arrays) tuple from
+    _pre_extract: the sequential shard scan extracts ONCE and reuses it for
+    every shard (reads are loop-invariant; only the tables change).
+    """
+    B, L = reads.shape
+    W = band
+    T = L + W
+    G = genome.shape[0]
+    bin_w = 1 << diag_bin_log2
+
+    if pre is None:
+        pre = _pre_extract(
+            reads, lengths, k=k, read_stride=read_stride, bs=bs,
+            bs_cutoff=bs_cutoff, canonical=canonical,
+        )
+    rc, kms = pre
+    if canonical and not bs:
+        # ONE canonical lookup per window covers both strands — halves the
+        # offset-table gathers, the measured CS hot spot on v5e
+        canon, flip, ok_c = kms
+        cand = candidate_search_canonical(
+            canon, flip, ok_c, lengths, offsets, positions,
+            sensitivity, max_freq, best_floor,
+            k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+            diag_bin_log2=diag_bin_log2, stride=read_stride,
+            axis_name=cs_axis, packed_offsets=packed_offsets,
+        )
+    else:
+        km_f, ok_f, km_r, ok_r = kms
         cand = candidate_search_dual(
             km_f, ok_f, km_r, ok_r, offsets, positions, sensitivity, max_freq,
             best_floor,
@@ -571,6 +592,7 @@ class CandState(NamedTuple):
 @partial(jax.jit, static_argnames=_STATICS)
 def cs_cands_step(
     genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+    pre=None,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
@@ -580,9 +602,11 @@ def cs_cands_step(
     """Phase 1 of the SINGLE-PASS sequential index-shard loop: the full CS
     once per shard, keeping the candidate lists for phase 2 instead of
     re-deriving them (round 2 ran cs_best_step + map_step = TWO full CS
-    passes per shard; CS dominates the sharded step)."""
+    passes per shard; CS dominates the sharded step).  `pre` (optional) is
+    the shared _pre_extract result when the caller loops over shards."""
     corr_start, strand, _, cs_score, _, _, best, overflow, extra = _candidates(
         genome, offsets, positions, reads, lengths, sensitivity, max_freq,
+        pre=pre,
         k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
@@ -630,65 +654,189 @@ def _regate_candidates(cand: CandState, best_g, sensitivity, min_kmer_hits):
     return corr_start, strand, valid, n_cands, cmr_overflow
 
 
-@partial(jax.jit, static_argnames=_STATICS)
+def _compacted_shard_tail(
+    genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+    min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
+    overflow, pair_args=None, *, band, slot_cap, diag_bin_log2,
+    sw_backend, end_to_end, simple_matrix, compact_cap,
+):
+    """Post-CS tail over ONLY the reads that have candidates in this shard.
+
+    In the sequential index-shard loop, a shard's re-gated candidate lists
+    are empty for ~ (S-1)/S of the batch, yet the tail's static [B] shapes —
+    the score-slot compaction, the winner traceback DP, the paired CxC
+    resolution — pay for every read, S times over the loop (VERDICT r2
+    missing #6: ~8x device work per read at S=4).  Here reads (PAIRS in
+    paired mode — pair resolution needs both mates' rows in the shard where
+    either has work) with n_cands > 0 are compacted into `compact_cap` rows,
+    the ordinary tail runs on the small batch, and per-read results scatter
+    back to [B]; rows a shard has no candidates for return zeroed fields,
+    which the cross-shard merge never selects (ownership requires
+    score > 0).  Reads lost to the cap are counted in cmr_overflow — loud,
+    like every other static cap.  With compact_cap >= B this is a pure
+    (stable) permutation of the batch: bit-identical results per read.
+    """
+    B, L = reads.shape
+    C = corr_start.shape[1]
+    paired = pair_args is not None
+    keep = n_cands > 0
+    if paired:
+        kp = keep.reshape(-1, 2)
+        keep_g = kp[:, 0] | kp[:, 1]
+        cap_g = compact_cap // 2
+    else:
+        keep_g = keep
+        cap_g = compact_cap
+    # stable argsort puts kept groups first IN READ ORDER, so the compacted
+    # batch is a subsequence of the original — per-read tail results are
+    # row-independent, hence identical to the uncompacted tail's
+    order = jnp.argsort(jnp.where(keep_g, 0, 1).astype(jnp.int32))
+    n_keep = jnp.sum(keep_g.astype(jnp.int32))
+    sel_g = order[:cap_g]
+    valid_g = jnp.arange(cap_g, dtype=jnp.int32) < jnp.minimum(n_keep, cap_g)
+    n_lost = jnp.maximum(0, n_keep - cap_g)
+    if paired:
+        rows = jnp.stack([sel_g * 2, sel_g * 2 + 1], axis=1).reshape(-1)
+        row_valid = jnp.repeat(valid_g, 2)
+    else:
+        rows, row_valid = sel_g, valid_g
+    rows_safe = jnp.where(row_valid, rows, 0)
+    Bc = rows.shape[0]
+
+    # row gathers: reads/rc via the one-hot MXU matmul (per-row gathers are
+    # the slow lowering on TPU); the small [B, C] candidate grids + [B]
+    # scalars as flat element gathers
+    reads_c = take_rows_mxu(reads, rows_safe)
+    rc_c = take_rows_mxu(rc, rows_safe)
+    lengths_c = jnp.where(row_valid, lengths[rows_safe], 0)
+    flat_bc = (rows_safe[:, None] * C
+               + jax.lax.broadcasted_iota(jnp.int32, (Bc, C), 1)).reshape(-1)
+    flat = lambda x: x.reshape(-1)[flat_bc].reshape(Bc, C)
+    corr_c = flat(corr_start)
+    strand_c = flat(strand)
+    valid_c = (flat(cand_valid.astype(jnp.int32)) == 1) & row_valid[:, None]
+    n_cands_c = jnp.where(row_valid, n_cands[rows_safe], 0)
+    ovf = (overflow[0], overflow[1] + n_lost * (2 if paired else 1))
+
+    if paired:
+        res_c = _paired_tail(
+            genome, reads_c, rc_c, lengths_c, matrices, gopen_q, gopen_r,
+            gext, min_identity, min_residues, *pair_args,
+            corr_c, strand_c, valid_c, n_cands_c, ovf,
+            band=band, slot_cap=slot_cap, diag_bin_log2=diag_bin_log2,
+            sw_backend=sw_backend, end_to_end=end_to_end,
+            simple_matrix=simple_matrix,
+        )
+    else:
+        res_c = _single_tail(
+            genome, reads_c, rc_c, lengths_c, matrices, gopen_q, gopen_r,
+            gext, min_identity, min_residues,
+            corr_c, strand_c, valid_c, n_cands_c, ovf,
+            band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+            end_to_end=end_to_end, simple_matrix=simple_matrix,
+        )
+
+    # scatter back to [B]; dropped rows keep zeroed defaults (score 0 =>
+    # never owned by the merge)
+    scat_idx = jnp.where(row_valid, rows, B)
+
+    def scat(x):
+        buf = jnp.zeros((B + 1,) + x.shape[1:], x.dtype)
+        return buf.at[scat_idx].set(x)[:B]
+
+    fields = {}
+    for name in MapResult._fields:
+        v = getattr(res_c, name)
+        if name in ("fanout_overflow", "cmr_overflow"):
+            fields[name] = v
+        else:
+            fields[name] = scat(v)
+    return MapResult(**fields)
+
+
+@partial(jax.jit, static_argnames=_STATICS + ("compact_cap",))
 def map_step_from_cands(
     genome, reads, lengths, matrices, gopen_q, gopen_r, gext,
     sensitivity, min_identity, min_residues, cand: CandState, best_g,
+    pre_rc=None,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, compact_cap=0,
 ) -> MapResult:
     """Phase 2 of the single-pass sequential shard loop: score + select +
     traceback from a shard's phase-1 candidate lists, with validity re-gated
     by the cross-shard best.  Byte-identical to map_step(best_floor=best_g)
-    by the CandState invariant."""
+    by the CandState invariant.  compact_cap > 0 runs the tail only on the
+    reads with candidates in this shard (_compacted_shard_tail)."""
     B = reads.shape[0]
-    slot_cap = slot_cap or max(512, B // 2)
-    rc = _shifted_rc(reads, lengths)
+    rc = _shifted_rc(reads, lengths) if pre_rc is None else pre_rc
     corr_start, strand, cand_valid, n_cands, cmr_ovf = _regate_candidates(
         cand, best_g, sensitivity, min_kmer_hits
     )
     overflow = (cand.fanout_overflow, cmr_ovf)
+    if compact_cap and compact_cap < B:
+        return _compacted_shard_tail(
+            genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+            min_identity, min_residues, corr_start, strand, cand_valid,
+            n_cands, overflow,
+            band=band, slot_cap=slot_cap or max(512, compact_cap // 2),
+            diag_bin_log2=diag_bin_log2, sw_backend=sw_backend,
+            end_to_end=end_to_end, simple_matrix=simple_matrix,
+            compact_cap=compact_cap,
+        )
     return _single_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, corr_start, strand, cand_valid, n_cands,
-        overflow, band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+        overflow, band=band, slot_cap=slot_cap or max(512, B // 2),
+        sw_backend=sw_backend,
         end_to_end=end_to_end, simple_matrix=simple_matrix,
     )
 
 
-@partial(jax.jit, static_argnames=_STATICS)
+@partial(jax.jit, static_argnames=_STATICS + ("compact_cap",))
 def map_step_paired_from_cands(
     genome, reads, lengths, matrices, gopen_q, gopen_r, gext,
     sensitivity, min_identity, min_residues,
     min_insert, max_insert, pair_cutoff, cand: CandState, best_g,
+    pre_rc=None,
     *, k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, compact_cap=0,
 ) -> MapResult:
     """Paired phase 2 of the single-pass sequential shard loop."""
     B = reads.shape[0]
-    slot_cap = slot_cap or max(512, B // 2)
-    rc = _shifted_rc(reads, lengths)
+    rc = _shifted_rc(reads, lengths) if pre_rc is None else pre_rc
     corr_start, strand, cand_valid, n_cands, cmr_ovf = _regate_candidates(
         cand, best_g, sensitivity, min_kmer_hits
     )
     overflow = (cand.fanout_overflow, cmr_ovf)
+    if compact_cap and compact_cap < B:
+        return _compacted_shard_tail(
+            genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+            min_identity, min_residues, corr_start, strand, cand_valid,
+            n_cands, overflow, (min_insert, max_insert, pair_cutoff),
+            band=band, slot_cap=slot_cap or max(512, compact_cap // 2),
+            diag_bin_log2=diag_bin_log2, sw_backend=sw_backend,
+            end_to_end=end_to_end, simple_matrix=simple_matrix,
+            compact_cap=compact_cap,
+        )
     return _paired_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
         min_identity, min_residues, min_insert, max_insert, pair_cutoff,
         corr_start, strand, cand_valid, n_cands, overflow,
-        band=band, slot_cap=slot_cap, diag_bin_log2=diag_bin_log2,
+        band=band, slot_cap=slot_cap or max(512, B // 2),
+        diag_bin_log2=diag_bin_log2,
         sw_backend=sw_backend, end_to_end=end_to_end,
         simple_matrix=simple_matrix,
     )
 
 
-@partial(jax.jit, static_argnames=_STATICS + ("paired", "read_len"))
+@partial(jax.jit,
+         static_argnames=_STATICS + ("paired", "read_len", "compact_cap"))
 def map_step_sharded_scan(
     genome_s, off_s, pos_s, base, core_lo, core_hi,
     reads, lengths, matrices, gopen_q, gopen_r, gext,
@@ -699,7 +847,7 @@ def map_step_sharded_scan(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, compact_cap=0,
 ) -> MapResult:
     """The ENTIRE sequential index-shard loop as ONE program: lax.scan over
     the stacked shard arrays for phase 1 (per-shard candidate lists), a
@@ -721,11 +869,15 @@ def map_step_sharded_scan(
         packed_offsets=packed_offsets, simple_matrix=simple_matrix,
         canonical=canonical, cs_axis=cs_axis,
     )
+    # reads are loop-invariant across shards: extract rc + k-mer windows ONCE
+    # and close over them in both scan bodies (XLA is not guaranteed to hoist)
+    pre = _pre_extract(reads, lengths, k=k, read_stride=read_stride, bs=bs,
+                       bs_cutoff=bs_cutoff, canonical=canonical)
 
     def cs_body(carry, xs):
         g, o, p = xs
         c = cs_cands_step(g, o, p, reads, lengths, sensitivity, max_freq,
-                          **statics)
+                          pre, **statics)
         return carry, c
 
     _, cands = jax.lax.scan(cs_body, 0, (genome_s, off_s, pos_s))
@@ -737,13 +889,14 @@ def map_step_sharded_scan(
             r = map_step_paired_from_cands(
                 g, reads, lengths, matrices, gopen_q, gopen_r, gext,
                 sensitivity, min_identity, min_residues,
-                min_insert, max_insert, pair_cutoff, c, best_g, **statics,
+                min_insert, max_insert, pair_cutoff, c, best_g, pre[0],
+                compact_cap=compact_cap, **statics,
             )
         else:
             r = map_step_from_cands(
                 g, reads, lengths, matrices, gopen_q, gopen_r, gext,
-                sensitivity, min_identity, min_residues, c, best_g,
-                **statics,
+                sensitivity, min_identity, min_residues, c, best_g, pre[0],
+                compact_cap=compact_cap, **statics,
             )
         return carry, r
 
@@ -1352,12 +1505,14 @@ class Mapper:
             # bit-identical and compiles small programs, so it is the bs
             # default.  NGM_SHARD_LOOP=scan forces the fused program.
             mode = "host"
+        compact_cap = self._shard_tail_cap(reads.shape[0], paired)
         if mode != "host" and not getattr(self, "_scan_fallback", False):
             try:
                 return map_step_sharded_scan(
                     *self._stack(), self._base, self._clo, self._chi,
                     reads, lens, *scalars, *pair_args,
-                    paired=paired, read_len=self.read_len, **self._statics(),
+                    paired=paired, read_len=self.read_len,
+                    compact_cap=compact_cap, **self._statics(),
                 )
             except jax.errors.JaxRuntimeError as e:
                 # giant fused programs (bisulfite dual tables x S shards)
@@ -1385,7 +1540,7 @@ class Mapper:
         results = [
             step(g, reads, lens, scalars[0], scalars[1], scalars[2],
                  scalars[3], scalars[4], scalars[6], scalars[7],
-                 *pair_args, c, best, **statics)
+                 *pair_args, c, best, compact_cap=compact_cap, **statics)
             for (g, _, _), c in zip(self._shard_list(), cands)
         ]
         stk = MapResult(*[
@@ -1461,6 +1616,27 @@ class Mapper:
             canonical=self._canonical,
             simple_matrix=self._simple,
         )
+
+    def _shard_tail_cap(self, B: int, paired: bool) -> int:
+        """Compacted-tail row budget for the sequential shard loop (0 = off).
+
+        A shard's re-gated candidates cover ~B/S reads, so 2B/S rows (floor
+        1024) give 2x headroom over the average while cutting the per-shard
+        tail (score slots + winner traceback DP) to a fraction of B; the
+        compaction itself is exact and overflow beyond the cap is counted in
+        cmr_overflow.  NGM_SHARD_TAIL_CAP overrides (0 disables)."""
+        import os as _os
+
+        env = _os.environ.get("NGM_SHARD_TAIL_CAP")
+        if env is not None:
+            cap = int(env)
+            if cap <= 0:
+                return 0
+        else:
+            S = self.cfg.index_shards
+            cap = max(1024, -(-2 * B // S))
+        cap = -(-cap // 256) * 256          # round up: lane-friendly, even
+        return 0 if cap >= B else cap
 
     # Long reads can run as TWO programs (cs_cands_step +
     # map_step_*_from_cands, byte-identical to the fused step by the
