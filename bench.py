@@ -44,7 +44,11 @@ def log(*a):
 
 
 def main() -> None:
-    cfg = NgmConfig()  # defaults: k=13, skip=2 — the reference configuration
+    # defaults: k=13; genome indexed at every position (kmer_skip=1) and the
+    # READ side strided at 2 (read_kmer_skip) — the TPU-first inversion of
+    # the reference's genome-side --kmer-skip 2 (same hits per locus, half
+    # the random index lookups; config.py:25-32)
+    cfg = NgmConfig()
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
@@ -168,7 +172,10 @@ def main() -> None:
     gcups = cells / (t_batch * N_BATCHES) / 1e9
 
     log(
-        f"reads/s: {rps:.0f}  GCUPS: {gcups:.2f}  mapped: {mapped}/{n_reads}"
+        # whole-step EFFECTIVE cell rate (cells actually executed / full-step
+        # time) — NOT the SW kernel's standalone rate, which BASELINE.md
+        # quotes separately (6.9-9.8 GCUPS fetch-inclusive at r3)
+        f"reads/s: {rps:.0f}  GCUPS(step-effective): {gcups:.2f}  mapped: {mapped}/{n_reads}"
         f"  truth accuracy (all batches): {ok}/{n_reads}"
         f"  marginal: {t_batch*1e3:.2f} ms/batch  fixed fetch: {fixed*1e3:.0f} ms"
         f"  walls: {walls[N1]*1e3:.1f}/{walls[N_BATCHES]*1e3:.1f} ms"

@@ -8,12 +8,17 @@ bound — but the STAGE attribution still came from dispatched programs.
 Here each stage runs as a lax.scan over K distinct batches inside ONE
 program, so the per-batch figure is pure device time.
 
-    NGM_STAGE=kmers|cs|csq|full  python tools/probe_stage_scan.py
+    NGM_STAGE=kmers|lookup|owners|csq|cs|full  python tools/probe_stage_scan.py
 
   kmers : canonical k-mer extraction only
+  lookup: kmers + CSR offset gather + cnt/cum prefix sum (owners DCE'd)
+  owners: lookup + slot-ownership resolve (position gather DCE'd)
+  csq   : lookup + compaction incl. the [B,H] position gather (select DCE'd)
   cs    : full candidate search (lookup + compaction + votes + select)
-  csq   : lookup + compaction only (H-slot positions; select DCE'd)
   full  : the whole map_step
+
+Subtraction attributes the csq wall: owners-lookup = slot ownership,
+csq-owners = position gather, cs-csq = votes+sort+select.
 
 Prints one JSON line with ms/batch (device) for the stage.
 """
@@ -118,6 +123,39 @@ def main() -> None:
         return (jnp.sum(pos_e & 0xFF), jnp.sum(qid & 0xFF),
                 jnp.sum(valid), fo, ho)
 
+    def _lookup(off, reads):
+        # the front of _compact_hits: kmers + offset gather + prefix sum
+        from nextgenmap_tpu.ops.candidate import PACK_CNT_BITS
+        canon, flip, ok = extract_kmers_canonical(
+            reads, lens_d, cfg.kmer, stride=cfg.read_kmer_skip
+        )
+        K = cfg.max_kmer_fanout
+        kmw = jnp.where(ok, canon, 0)
+        if packed_offsets:
+            pw = off[kmw]
+            o0 = (pw >> PACK_CNT_BITS).astype(jnp.int32)
+            cnt = jnp.where(
+                ok, (pw & ((1 << PACK_CNT_BITS) - 1)).astype(jnp.int32), 0
+            )
+        else:
+            o0 = off[kmw]
+            o1 = off[kmw + 1]
+            cnt = jnp.where(ok, o1 - o0, 0)
+            cnt = jnp.where(cnt > mf, 0, cnt)
+        cnt_c = jnp.minimum(cnt, K)
+        cum = jnp.cumsum(cnt_c, axis=1) - cnt_c
+        return cum, o0, cnt_c, flip
+
+    def stage_lookup(g, off, pos, reads):
+        cum, o0, cnt_c, flip = _lookup(off, reads)
+        return (jnp.sum(cum & 0xFF), jnp.sum(o0 & 0xFF), jnp.sum(cnt_c))
+
+    def stage_owners(g, off, pos, reads):
+        from nextgenmap_tpu.ops.candidate import _slot_owners
+        cum, o0, cnt_c, flip = _lookup(off, reads)
+        qid, pidx, pay = _slot_owners(cum, o0, flip, H, cnt_c)
+        return (jnp.sum(qid & 0xFF), jnp.sum(pidx & 0xFF), jnp.sum(pay))
+
     def stage_full(g, off, pos, reads):
         r = map_step(
             g, off, pos, reads, lens_d, mats_d,
@@ -132,6 +170,7 @@ def main() -> None:
         return stage_kmers(reads)
 
     fn = {"kmers": stage_kmers_a, "cs": stage_cs, "csq": stage_csq,
+          "lookup": stage_lookup, "owners": stage_owners,
           "full": stage_full}[STAGE]
 
     full = codes.reshape(2 * N_BATCHES, BATCH, READ_LEN)
