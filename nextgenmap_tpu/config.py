@@ -194,6 +194,29 @@ class NgmConfig:
     def kmers_per_read(self, read_len: int) -> int:
         return max(1, (read_len - self.kmer) // self.read_kmer_skip + 1)
 
+    def resolved_word_cap(self, n_positions: int, read_len: int,
+                          hit_cap: int, *, canonical: bool = True) -> int:
+        """Static per-read WORD budget HW for the word-gather CS path
+        (ops/candidate.py WORD_W=8-wide position rows).
+
+        A read's word count is the sum over its nonzero CSR rows of
+        ceil(cnt/8) (+1 straddle).  Unlike random k-mers, a MATCHING read's
+        k-mers ~always hit (the read came from the genome), so the expected
+        nonzero-row count is ~every lookup, and each row adds ~min(lam,
+        fanout)/8 extra words from index density lam (positions per offsets
+        row).  1.25x margin + slack covers repeat-rich reads; overflow is
+        counted in hit_overflow (never silent).  The win over hit_cap is the
+        hits-per-word factor: H ~ lookups * row length but HW ~ lookups *
+        (1 + row length / 8).
+        """
+        q = self.kmers_per_read(read_len)
+        lookups = q if canonical else 2 * q
+        lam = n_positions / 4.0 ** self.kmer
+        per_row = 1.0 + min(lam, float(self.max_kmer_fanout)) / 8.0
+        est = 1.25 * lookups * per_row + 8
+        ceil_w = max(64, hit_cap // 2 + 16)
+        return max(24, min(ceil_w, _round_up(int(est), 8)))
+
     def replace(self, **kw) -> "NgmConfig":
         return dataclasses.replace(self, **kw)
 

@@ -122,7 +122,7 @@ def _candidates(
     best_floor=None, pre=None,
     *, k, fanout_cap, hit_cap, max_cmrs, diag_bin_log2, band, min_kmer_hits,
     read_stride=1, bs=False, bs_cutoff=0, cs_axis=None, packed_offsets=False,
-    canonical=False,
+    canonical=False, word_cap=0,
 ):
     """CS on both strands -> deterministically ordered candidate grid.
 
@@ -161,6 +161,7 @@ def _candidates(
             k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, stride=read_stride,
             axis_name=cs_axis, packed_offsets=packed_offsets,
+            word_cap=word_cap,
         )
     else:
         km_f, ok_f, km_r, ok_r = kms
@@ -170,6 +171,7 @@ def _candidates(
             fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
             diag_bin_log2=diag_bin_log2, stride=read_stride, dual_tables=bs,
             axis_name=cs_axis, packed_offsets=packed_offsets,
+            word_cap=word_cap,
         )
     bucket, cs_score, strand = cand.bucket, cand.score, cand.strand
     cand_valid = cs_score >= max(1, min_kmer_hits)
@@ -387,7 +389,7 @@ _STATICS = (
     "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "band",
     "min_kmer_hits", "slot_cap", "read_stride", "bs", "bs_cutoff",
     "sw_backend", "end_to_end", "cs_axis", "packed_offsets", "canonical",
-    "simple_matrix",
+    "simple_matrix", "word_cap",
 )
 
 
@@ -509,7 +511,7 @@ def map_step(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, word_cap=0,
 ) -> MapResult:
     """Single-end mapping step (DESIGN.md rule 11 selection).
 
@@ -528,6 +530,7 @@ def map_step(
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
         packed_offsets=packed_offsets, canonical=canonical,
+        word_cap=word_cap,
     )
     return _single_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
@@ -544,7 +547,7 @@ def cs_best_step(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, word_cap=0,
 ) -> jax.Array:
     """Candidate-search-only pass returning the per-read best bucket count.
 
@@ -561,6 +564,7 @@ def cs_best_step(
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
         packed_offsets=packed_offsets, canonical=canonical,
+        word_cap=word_cap,
     )
     return best
 
@@ -597,7 +601,7 @@ def cs_cands_step(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, word_cap=0,
 ) -> CandState:
     """Phase 1 of the SINGLE-PASS sequential index-shard loop: the full CS
     once per shard, keeping the candidate lists for phase 2 instead of
@@ -611,6 +615,7 @@ def cs_cands_step(
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
         packed_offsets=packed_offsets, canonical=canonical,
+        word_cap=word_cap,
     )
     return CandState(corr_start, strand, cs_score, best,
                      overflow[0], overflow[1], extra)
@@ -763,7 +768,7 @@ def map_step_from_cands(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None, compact_cap=0,
+    canonical=False, cs_axis=None, word_cap=0, compact_cap=0,
 ) -> MapResult:
     """Phase 2 of the single-pass sequential shard loop: score + select +
     traceback from a shard's phase-1 candidate lists, with validity re-gated
@@ -805,7 +810,7 @@ def map_step_paired_from_cands(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None, compact_cap=0,
+    canonical=False, cs_axis=None, word_cap=0, compact_cap=0,
 ) -> MapResult:
     """Paired phase 2 of the single-pass sequential shard loop."""
     B = reads.shape[0]
@@ -847,7 +852,7 @@ def map_step_sharded_scan(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None, compact_cap=0,
+    canonical=False, cs_axis=None, word_cap=0, compact_cap=0,
 ) -> MapResult:
     """The ENTIRE sequential index-shard loop as ONE program: lax.scan over
     the stacked shard arrays for phase 1 (per-shard candidate lists), a
@@ -867,7 +872,7 @@ def map_step_sharded_scan(
         slot_cap=slot_cap, read_stride=read_stride, bs=bs,
         bs_cutoff=bs_cutoff, sw_backend=sw_backend, end_to_end=end_to_end,
         packed_offsets=packed_offsets, simple_matrix=simple_matrix,
-        canonical=canonical, cs_axis=cs_axis,
+        canonical=canonical, cs_axis=cs_axis, word_cap=word_cap,
     )
     # reads are loop-invariant across shards: extract rc + k-mer windows ONCE
     # and close over them in both scan bodies (XLA is not guaranteed to hoist)
@@ -919,7 +924,7 @@ def map_step_scan(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, word_cap=0,
 ) -> MapResult:
     """MEGABATCH step: K read batches in ONE program (lax.scan over [K,B,L]).
 
@@ -937,7 +942,7 @@ def map_step_scan(
         slot_cap=slot_cap, read_stride=read_stride, bs=bs,
         bs_cutoff=bs_cutoff, sw_backend=sw_backend, end_to_end=end_to_end,
         packed_offsets=packed_offsets, simple_matrix=simple_matrix,
-        canonical=canonical, cs_axis=cs_axis,
+        canonical=canonical, cs_axis=cs_axis, word_cap=word_cap,
     )
 
     def body(carry, xs):
@@ -969,7 +974,7 @@ def map_step_topn_from_cands(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False, topn=2,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, word_cap=0,
 ) -> tuple:
     """Topn phase 2 of the single-pass sequential shard loop (ref -n with
     --index-shards): each shard traces its local top ranks; the cross-shard
@@ -999,7 +1004,7 @@ def map_step_topn(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False, topn=2,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, word_cap=0,
 ) -> tuple:
     """Single-end mapping with up to `topn` alignments per read (ref -n).
 
@@ -1017,6 +1022,7 @@ def map_step_topn(
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
         packed_offsets=packed_offsets, canonical=canonical,
+        word_cap=word_cap,
     )
     return _topn_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
@@ -1172,7 +1178,7 @@ def map_step_paired(
     min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
     sw_backend="xla", end_to_end=False, packed_offsets=False,
     simple_matrix=False,
-    canonical=False, cs_axis=None,
+    canonical=False, cs_axis=None, word_cap=0,
 ) -> MapResult:
     """Paired-end step: rows 2i/2i+1 are mates (DESIGN.md rule 13).
 
@@ -1198,6 +1204,7 @@ def map_step_paired(
         diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
         read_stride=read_stride, bs=bs, bs_cutoff=bs_cutoff, cs_axis=cs_axis,
         packed_offsets=packed_offsets, canonical=canonical,
+        word_cap=word_cap,
     )
     return _paired_tail(
         genome, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
@@ -1300,6 +1307,18 @@ class Mapper:
         self.band = self.cfg.corridor_for(self.read_len)
         n_pos = self._pos_dev.shape[0] // (2 if self.cfg.bs_mapping else 1)
         self.hit_cap = self.cfg.resolved_read_hits(n_pos, self.read_len)
+        # word-gather CS path (round 4): positions padded to 8-wide rows so
+        # the [B, H] element gather becomes a [B, HW] row gather
+        # (ops/candidate.py word_cap docs); NGM_WORD_GATHER=0 disables for A/B
+        from nextgenmap_tpu.ops.candidate import pad_positions8
+
+        self._pos_dev = pad_positions8(self._pos_dev)
+        self.word_cap = 0
+        if not self.cfg.bs_mapping and _os.environ.get(
+                "NGM_WORD_GATHER", "1") != "0":
+            self.word_cap = self.cfg.resolved_word_cap(
+                n_pos, self.read_len, self.hit_cap, canonical=self._canonical
+            )
 
         # data parallelism over devices (the dp analog of reference -t):
         # shard_map over a 1-D mesh; genome/index/matrices replicated
@@ -1367,6 +1386,16 @@ class Mapper:
             raise ValueError(
                 "index sharding requires a host-built KmerIndex"
             )
+        import dataclasses as _dc
+        import os as _os
+
+        from nextgenmap_tpu.ops.candidate import WORD_W
+
+        wpad = (-sidx.positions.shape[1]) % WORD_W
+        if wpad:
+            sidx = _dc.replace(sidx, positions=np.pad(
+                sidx.positions, ((0, 0), (0, wpad))
+            ))
         self._sharded = sidx
         self._canonical = bool(getattr(sidx, "canonical", False))
         self._packed_offsets = False
@@ -1383,6 +1412,13 @@ class Mapper:
         self.hit_cap = cfg.resolved_read_hits(
             sidx.positions.shape[1] // (2 if sidx.dual else 1), self.read_len
         )
+        self.word_cap = 0
+        if not cfg.bs_mapping and _os.environ.get(
+                "NGM_WORD_GATHER", "1") != "0":
+            self.word_cap = cfg.resolved_word_cap(
+                sidx.positions.shape[1] // (2 if sidx.dual else 1),
+                self.read_len, self.hit_cap, canonical=self._canonical,
+            )
         self.n_devices = cfg.devices or len(jax.local_devices())
         self._cross_host = False
         if cfg.shard_hosts:
@@ -1615,6 +1651,7 @@ class Mapper:
             packed_offsets=self._packed_offsets,
             canonical=self._canonical,
             simple_matrix=self._simple,
+            word_cap=getattr(self, "word_cap", 0),
         )
 
     def _shard_tail_cap(self, B: int, paired: bool) -> int:

@@ -98,8 +98,13 @@ def pack_offsets(offsets: jax.Array, max_freq, fanout_cap: int):
     return jnp.concatenate([packed, jnp.zeros((1,), jnp.uint32)])
 
 
-def _slot_owners_dense(cum, o0, payload, H):
-    """Slot ownership via dense [B, H, Qt] compare-sums (fast for small H)."""
+def _slot_owners_dense(cum, o0, payload, H, extras=()):
+    """Slot ownership via dense [B, H, Qt] compare-sums (fast for small H).
+
+    extras: additional per-kmer [B, Qt] arrays to resolve at each slot via
+    the same one-hot sum (the word-gather path needs the owner's cumw/w0);
+    when non-empty the return gains a 4th element (tuple of [B, H] arrays).
+    """
     B, Qt = cum.shape
     harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
     ge = harange[:, :, None] >= cum[:, None, :]          # [B, H, Qt]
@@ -113,6 +118,12 @@ def _slot_owners_dense(cum, o0, payload, H):
     pay_at = None
     if payload is not None:
         pay_at = jnp.sum(jnp.where(onehot, payload[:, None, :], 0), axis=2)
+    if extras:
+        ex_at = tuple(
+            jnp.sum(jnp.where(onehot, e[:, None, :], 0), axis=2)
+            for e in extras
+        )
+        return qid, pidx, pay_at, ex_at
     return qid, pidx, pay_at
 
 
@@ -319,9 +330,36 @@ def _slot_owners(cum, o0, payload, H, cnt):
     return _slot_owners_sorted(cum, o0, payload, H)
 
 
+WORD_W = 8  # positions per gathered row (32 B); measured on v5e the XLA
+            # gather costs ~11-24 ns PER DESCRIPTOR nearly independent of row
+            # width (tools/probe_gather3.py row_w sweep), so 8-wide rows cut
+            # the CS position-fetch wall ~(hits-per-word)x
+
+
+def pad_positions8(positions):
+    """Pad a positions array to a multiple of WORD_W (zeros) so the
+    word-gather path can view it as [P/8, 8] rows for free.  Padding entries
+    are never validated (cnt masks stop at the true row ends); callers that
+    skip padding silently fall back to the per-element gather path."""
+    P = positions.shape[0]
+    pad = (-P) % WORD_W
+    if pad == 0:
+        return positions
+    import numpy as _np
+
+    if isinstance(positions, _np.ndarray):
+        return _np.concatenate(
+            [positions, _np.zeros((pad,), positions.dtype)]
+        )
+    return jnp.concatenate(
+        [positions, jnp.zeros((pad,), positions.dtype)]
+    )
+
+
 def _compact_hits(
     km, ok, offsets, positions, max_freq,
     *, fanout_cap, hit_cap, table_split=0, packed_offsets=False, payload=None,
+    word_cap=0,
 ):
     """Compact the ragged CSR fan-out of a kmer batch into [B, H] hit slots.
 
@@ -329,6 +367,19 @@ def _compact_hits(
     (bisulfite: CT-collapsed for the forward pass, GA-collapsed for the rc
     pass, second table pre-shifted into the shared positions array); kmer
     slots >= table_split look up the second table.
+
+    word_cap > 0 enables the WORD-GATHER path (round 4): the [B, H] element
+    gather from `positions` is the measured CS wall on v5e (~11-24 ns per
+    gather DESCRIPTOR, element-serial, independent of table size —
+    tools/probe_gather3.py), but descriptors fetching 8-wide rows cost the
+    same as single elements.  So positions are fetched as [B, HW] rows of
+    WORD_W=8 (each CSR row spans ceil(cnt/8)+straddle words; HW = word_cap
+    is the per-read word budget, sized from index density like hit_cap),
+    then compacted back to the SAME [B, H] hit-slot layout with a dense
+    one-hot select — votes/threshold/selection downstream are untouched and
+    the result is bit-identical whenever no word overflow occurs (overflow
+    is counted in hit_overflow).  Requires len(positions) % 8 == 0
+    (pad_positions8) and the dense ownership regime (H <= _DENSE_H_MAX).
 
     Returns (pos [B, H] genome positions, qid [B, H] owning kmer slot,
     valid [B, H], fanout_overflow, hit_overflow).
@@ -367,12 +418,67 @@ def _compact_hits(
     cum = jnp.cumsum(cnt_c, axis=1) - cnt_c  # exclusive prefix sum [B, Qt]
     total = cum[:, -1] + cnt_c[:, -1]        # [B]
     hit_overflow = jnp.sum((total > H).astype(jnp.int32))
-
-    # slot h belongs to the last kmer q with cum[q] <= h
-    qid, pidx, pay_at = _slot_owners(cum, o0, payload, H, cnt_c)
     harange = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
-    valid = harange < jnp.minimum(total, H)[:, None]
-    pos = positions[jnp.where(valid, pidx, 0)]           # [B, H] — the ONE gather
+
+    use_words = (
+        word_cap > 0
+        and positions.shape[0] % WORD_W == 0
+        and _OWNERS_MODE in ("auto", "dense")
+        and H <= _DENSE_H_MAX
+    )
+    if not use_words:
+        # slot h belongs to the last kmer q with cum[q] <= h
+        qid, pidx, pay_at = _slot_owners(cum, o0, payload, H, cnt_c)
+        valid = harange < jnp.minimum(total, H)[:, None]
+        pos = positions[jnp.where(valid, pidx, 0)]       # [B, H] — the ONE gather
+    else:
+        HW = word_cap
+        # per-kmer word span in the [P/8, 8] row view of positions
+        w0 = o0 >> 3
+        wlast = (o0 + jnp.maximum(cnt_c, 1) - 1) >> 3
+        wcnt = jnp.where(cnt_c > 0, wlast - w0 + 1, 0)   # <= cnt/8 + 1
+        cumw = jnp.cumsum(wcnt, axis=1) - wcnt           # [B, Qt]
+        totalw = cumw[:, -1] + wcnt[:, -1]
+        word_overflow = jnp.sum((totalw > HW).astype(jnp.int32))
+        # word-slot ownership: the 2-pass dense2 variant — only widx is
+        # consumed, so the classic dense's extra one-hot sums are waste
+        _, widx, _ = _slot_owners_dense2(cumw, w0, None, HW)
+        warange = jax.lax.broadcasted_iota(jnp.int32, (B, HW), 1)
+        wvalid = warange < jnp.minimum(totalw, HW)[:, None]
+        pos2d = positions.reshape(-1, WORD_W)
+        words = pos2d[jnp.where(wvalid, widx, 0)]        # [B, HW, 8] row gather
+        # hit-slot ownership with ONE extra payload: dw = cumw - w0 gives the
+        # hit's word slot as ws = dw_at + (pidx >> 3) in a single one-hot sum
+        qid, pidx, pay_at, (dw_at,) = _slot_owners_dense(
+            cum, o0, payload, H, extras=(cumw - w0,)
+        )
+        ws = dw_at + (pidx >> 3)                         # hit's word slot
+        lane = pidx & (WORD_W - 1)
+        valid = harange < jnp.minimum(total, H)[:, None]
+        # hits whose word fell past the word budget carry garbage: drop them
+        # (counted via word_overflow below)
+        valid &= ws < HW
+        # compaction [B, HW, 8] words -> [B, H] hit slots as an int-exact MXU
+        # einsum: positions split into bytes (0..255 — exact in bf16, the
+        # ops/kmer.py trick), one-hot sel rows have a single 1 so every f32
+        # accumulation is one product.  The 8-pass VPU select this replaces
+        # measured ~5 ms at [4096, 192, 96].
+        wsc = jnp.where(valid, ws, 0)
+        sel = (wsc[:, :, None] == warange[:, None, :]).astype(jnp.bfloat16)
+        wbytes = jax.lax.bitcast_convert_type(words, jnp.uint8)
+        wbytes = wbytes.reshape(B, HW, WORD_W * 4).astype(jnp.bfloat16)
+        ob = jnp.einsum(
+            "bhw,bwc->bhc", sel, wbytes, preferred_element_type=jnp.float32
+        ).astype(jnp.int32).reshape(B, H, WORD_W, 4)
+        # recombine little-endian bytes; positions are non-negative int32 so
+        # the top byte is < 128 and the shift cannot overflow
+        word_vals = (ob[..., 0] | (ob[..., 1] << 8)
+                     | (ob[..., 2] << 16) | (ob[..., 3] << 24))  # [B, H, 8]
+        lane1h = lane[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (B, H, WORD_W), 2
+        )
+        pos = jnp.sum(jnp.where(lane1h, word_vals, 0), axis=2)
+        hit_overflow = hit_overflow + word_overflow
     if payload is None:
         return pos, qid, valid, fanout_overflow, hit_overflow
     return pos, qid, valid, fanout_overflow, hit_overflow, pay_at
@@ -448,7 +554,7 @@ def _select_candidates(votes, sensitivity, max_cmrs, axis_name, best_floor=None)
     jax.jit,
     static_argnames=(
         "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride",
-        "dual_tables", "axis_name", "packed_offsets",
+        "dual_tables", "axis_name", "packed_offsets", "word_cap",
     ),
 )
 def candidate_search_dual(
@@ -470,6 +576,7 @@ def candidate_search_dual(
     dual_tables: bool = False,
     axis_name: str | None = None,
     packed_offsets: bool = False,
+    word_cap: int = 0,
 ) -> Candidates:
     """Both strands in ONE counting pass (like the reference's CS table).
 
@@ -489,7 +596,7 @@ def candidate_search_dual(
         km, ok, offsets, positions, max_freq,
         fanout_cap=fanout_cap, hit_cap=hit_cap,
         table_split=Q if dual_tables else 0,
-        packed_offsets=packed_offsets,
+        packed_offsets=packed_offsets, word_cap=word_cap,
     )
     strand = qid & 1                                     # [B, H]
     qoff = (qid >> 1) * stride
@@ -529,7 +636,7 @@ def candidate_search_dual(
     jax.jit,
     static_argnames=(
         "k", "fanout_cap", "hit_cap", "max_cmrs", "diag_bin_log2", "stride",
-        "axis_name", "packed_offsets",
+        "axis_name", "packed_offsets", "word_cap",
     ),
 )
 def candidate_search_canonical(
@@ -551,6 +658,7 @@ def candidate_search_canonical(
     stride: int = 1,
     axis_name: str | None = None,
     packed_offsets: bool = False,
+    word_cap: int = 0,
 ) -> Candidates:
     """Both strands from ONE canonical lookup per read k-mer.
 
@@ -565,7 +673,7 @@ def candidate_search_canonical(
     out = _compact_hits(
         canon, ok, offsets, positions, max_freq,
         fanout_cap=fanout_cap, hit_cap=hit_cap,
-        packed_offsets=packed_offsets, payload=flip,
+        packed_offsets=packed_offsets, payload=flip, word_cap=word_cap,
     )
     pos_e, qid, valid, fo, ho, yflip = out
     p = pos_e >> 1

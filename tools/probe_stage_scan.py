@@ -13,6 +13,7 @@ program, so the per-batch figure is pure device time.
   kmers : canonical k-mer extraction only
   lookup: kmers + CSR offset gather + cnt/cum prefix sum (owners DCE'd)
   owners: lookup + slot-ownership resolve (position gather DCE'd)
+  gather: owners + the [B,H] position gather (votes/select DCE'd)
   csq   : lookup + compaction incl. the [B,H] position gather (select DCE'd)
   cs    : full candidate search (lookup + compaction + votes + select)
   full  : the whole map_step
@@ -82,22 +83,31 @@ def main() -> None:
     mats_d = jnp.asarray(np.stack([score_matrix(cfg, 0), score_matrix(cfg, 1)]))
     band = cfg.corridor_for(READ_LEN)
     H = cfg.resolved_read_hits(int(pos_d.shape[0]), READ_LEN)
-    log(f"H={H} band={band}")
+    WC = 0
+    if os.environ.get("NGM_WORD_GATHER", "1") != "0":
+        from nextgenmap_tpu.ops.candidate import pad_positions8
+
+        WC = cfg.resolved_word_cap(int(pos_d.shape[0]), READ_LEN, H)
+        pos_d = pad_positions8(pos_d)
+    log(f"H={H} band={band} WC={WC}")
     statics = dict(
         k=cfg.kmer, fanout_cap=cfg.max_kmer_fanout, hit_cap=H,
         max_cmrs=cfg.max_cmrs, diag_bin_log2=cfg.diag_bin_log2, band=band,
         min_kmer_hits=1, read_stride=cfg.read_kmer_skip,
-        packed_offsets=packed_offsets, canonical=True,
+        packed_offsets=packed_offsets, canonical=True, word_cap=WC,
     )
     sens = jnp.float32(cfg.sensitivity)
     mf = jnp.int32(cfg.max_kmer_freq)
 
+    # every stage folds to ONE int32: the relay charges a full round-trip
+    # PER FETCHED LEAF (~20 ms), so stages returning different leaf counts
+    # would not subtract cleanly
     def stage_kmers(reads):
         c, f, ok = extract_kmers_canonical(
             reads, lens_d, cfg.kmer, stride=cfg.read_kmer_skip
         )
         # fold so nothing is DCE'd
-        return (jnp.sum(c & 0xFF), jnp.sum(f), jnp.sum(ok))
+        return jnp.sum(c & 0xFF) + jnp.sum(f) + jnp.sum(ok)
 
     # genome/index tables must be ARGUMENTS of the jitted scan, not closure
     # captures — captured arrays serialize into the remote-compile payload
@@ -107,8 +117,8 @@ def main() -> None:
             g, off, pos, reads, lens_d, sens, mf, **statics
         )
         corr, strand, valid, score, n, rc, best, ovf, extra = out
-        return (jnp.sum(corr & 0xFF), jnp.sum(strand), jnp.sum(n),
-                jnp.sum(best))
+        return (jnp.sum(corr & 0xFF) + jnp.sum(strand) + jnp.sum(n)
+                + jnp.sum(best))
 
     def stage_csq(g, off, pos, reads):
         from nextgenmap_tpu.ops.candidate import _compact_hits
@@ -118,10 +128,10 @@ def main() -> None:
         pos_e, qid, valid, fo, ho, yflip = _compact_hits(
             canon, ok, off, pos, mf,
             fanout_cap=cfg.max_kmer_fanout, hit_cap=H,
-            packed_offsets=packed_offsets, payload=flip,
+            packed_offsets=packed_offsets, payload=flip, word_cap=WC,
         )
-        return (jnp.sum(pos_e & 0xFF), jnp.sum(qid & 0xFF),
-                jnp.sum(valid), fo, ho)
+        return (jnp.sum(pos_e & 0xFF) + jnp.sum(qid & 0xFF)
+                + jnp.sum(valid) + fo + ho)
 
     def _lookup(off, reads):
         # the front of _compact_hits: kmers + offset gather + prefix sum
@@ -148,13 +158,64 @@ def main() -> None:
 
     def stage_lookup(g, off, pos, reads):
         cum, o0, cnt_c, flip = _lookup(off, reads)
-        return (jnp.sum(cum & 0xFF), jnp.sum(o0 & 0xFF), jnp.sum(cnt_c))
+        return jnp.sum(cum & 0xFF) + jnp.sum(o0 & 0xFF) + jnp.sum(cnt_c)
 
     def stage_owners(g, off, pos, reads):
         from nextgenmap_tpu.ops.candidate import _slot_owners
         cum, o0, cnt_c, flip = _lookup(off, reads)
         qid, pidx, pay = _slot_owners(cum, o0, flip, H, cnt_c)
-        return (jnp.sum(qid & 0xFF), jnp.sum(pidx & 0xFF), jnp.sum(pay))
+        return jnp.sum(qid & 0xFF) + jnp.sum(pidx & 0xFF) + jnp.sum(pay)
+
+    def stage_gather(g, off, pos, reads):
+        # owners + the [B, H] position gather (diag/votes/select DCE'd):
+        # csq minus this stage isolates nothing; this stage minus owners
+        # isolates the ONE flat element gather — the round-4 wall
+        from nextgenmap_tpu.ops.candidate import _slot_owners
+        cum, o0, cnt_c, flip = _lookup(off, reads)
+        qid, pidx, pay = _slot_owners(cum, o0, flip, H, cnt_c)
+        harange = jax.lax.broadcasted_iota(jnp.int32, pidx.shape, 1)
+        total = cum[:, -1] + cnt_c[:, -1]
+        valid = harange < jnp.minimum(total, H)[:, None]
+        pos_e = pos[jnp.where(valid, pidx, 0)]
+        return jnp.sum(pos_e & 0xFF) + jnp.sum(qid & 0xFF) + jnp.sum(pay)
+
+    def stage_wown(g, off, pos, reads):
+        # lookup + BOTH ownership passes of the word path (gather DCE'd)
+        from nextgenmap_tpu.ops.candidate import (
+            _slot_owners_dense, _slot_owners_dense2,
+        )
+        cum, o0, cnt_c, flip = _lookup(off, reads)
+        w0 = o0 >> 3
+        wlast = (o0 + jnp.maximum(cnt_c, 1) - 1) >> 3
+        wcnt = jnp.where(cnt_c > 0, wlast - w0 + 1, 0)
+        cumw = jnp.cumsum(wcnt, axis=1) - wcnt
+        _, widx, _ = _slot_owners_dense2(cumw, w0, None, WC)
+        qid, pidx, pay, (dw_at,) = _slot_owners_dense(
+            cum, o0, flip, H, extras=(cumw - w0,)
+        )
+        return (jnp.sum(widx & 0xFF) + jnp.sum(qid & 0xFF)
+                + jnp.sum(pidx & 0xFF) + jnp.sum(dw_at & 0xFF))
+
+    def stage_wgather(g, off, pos, reads):
+        # wown + the [B, HW] row gather (compaction einsum DCE'd)
+        from nextgenmap_tpu.ops.candidate import (
+            _slot_owners_dense, _slot_owners_dense2,
+        )
+        cum, o0, cnt_c, flip = _lookup(off, reads)
+        w0 = o0 >> 3
+        wlast = (o0 + jnp.maximum(cnt_c, 1) - 1) >> 3
+        wcnt = jnp.where(cnt_c > 0, wlast - w0 + 1, 0)
+        cumw = jnp.cumsum(wcnt, axis=1) - wcnt
+        totalw = cumw[:, -1] + wcnt[:, -1]
+        _, widx, _ = _slot_owners_dense2(cumw, w0, None, WC)
+        warange = jax.lax.broadcasted_iota(jnp.int32, widx.shape, 1)
+        wvalid = warange < jnp.minimum(totalw, WC)[:, None]
+        words = pos.reshape(-1, 8)[jnp.where(wvalid, widx, 0)]
+        qid, pidx, pay, (dw_at,) = _slot_owners_dense(
+            cum, o0, flip, H, extras=(cumw - w0,)
+        )
+        return (jnp.sum(words & 0xFF) + jnp.sum(qid & 0xFF)
+                + jnp.sum(pidx & 0xFF) + jnp.sum(dw_at & 0xFF))
 
     def stage_full(g, off, pos, reads):
         r = map_step(
@@ -164,14 +225,15 @@ def main() -> None:
             jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
             **statics, sw_backend=cfg.sw_backend, simple_matrix=True,
         )
-        return (jnp.sum(r.pos & 0xFF), jnp.sum(r.mapped), jnp.sum(r.score))
+        return jnp.sum(r.pos & 0xFF) + jnp.sum(r.mapped) + jnp.sum(r.score)
 
     def stage_kmers_a(g, off, pos, reads):
         return stage_kmers(reads)
 
     fn = {"kmers": stage_kmers_a, "cs": stage_cs, "csq": stage_csq,
           "lookup": stage_lookup, "owners": stage_owners,
-          "full": stage_full}[STAGE]
+          "gather": stage_gather, "wown": stage_wown,
+          "wgather": stage_wgather, "full": stage_full}[STAGE]
 
     full = codes.reshape(2 * N_BATCHES, BATCH, READ_LEN)
     warm = jax.device_put(jnp.asarray(full[:N_BATCHES]))
