@@ -210,7 +210,14 @@ def main() -> None:
         _, widx, _ = _slot_owners_dense2(cumw, w0, None, WC)
         warange = jax.lax.broadcasted_iota(jnp.int32, widx.shape, 1)
         wvalid = warange < jnp.minimum(totalw, WC)[:, None]
-        words = pos.reshape(-1, 8)[jnp.where(wvalid, widx, 0)]
+        widx_c = jnp.where(wvalid, widx, 0)
+        if os.environ.get("NGM_WGFLAT", "0") == "1":
+            # flatten the [B, HW] descriptor grid to [B*HW]: tests whether
+            # the 2D-batched index shape is what doubles the per-row cost
+            B_, HW_ = widx_c.shape
+            words = pos.reshape(-1, 8)[widx_c.reshape(-1)].reshape(B_, HW_, 8)
+        else:
+            words = pos.reshape(-1, 8)[widx_c]
         qid, pidx, pay, (dw_at,) = _slot_owners_dense(
             cum, o0, flip, H, extras=(cumw - w0,)
         )
