@@ -914,6 +914,55 @@ def map_step_sharded_scan(
     )
 
 
+@partial(jax.jit,
+         static_argnames=_STATICS + ("paired", "read_len", "compact_cap"))
+def map_step_sharded_megascan(
+    genome_s, off_s, pos_s, base, core_lo, core_hi,
+    reads_k, lengths_k, matrices, gopen_q, gopen_r, gext,
+    sensitivity, max_freq, min_identity, min_residues,
+    min_insert=None, max_insert=None, pair_cutoff=None,
+    *, paired=False, read_len=0,
+    k, fanout_cap, hit_cap=256, max_cmrs, diag_bin_log2, band,
+    min_kmer_hits=1, slot_cap=0, read_stride=1, bs=False, bs_cutoff=0,
+    sw_backend="xla", end_to_end=False, packed_offsets=False,
+    simple_matrix=False,
+    canonical=False, cs_axis=None, word_cap=0, compact_cap=0,
+) -> MapResult:
+    """MEGABATCH x SHARDS: K read batches through the fused sequential shard
+    loop in ONE program (outer lax.scan over [K, B, L], body =
+    map_step_sharded_scan).  Fields come back stacked [K, ...].
+
+    Why: round 3 measured the 4-shard scan at 3.4 ms/batch device-side
+    (tools/probe_sharded.py) while the per-batch CLI streamed ~317 ms/batch —
+    nearly all of it per-dispatch relay latency and per-leaf fetch
+    round-trips, both paid once per DISPATCH.  One dispatch per K batches
+    divides that host-side tax by K.  Bit-identical per batch to K separate
+    map_step_sharded_scan calls: the scan body IS that function."""
+    statics = dict(
+        k=k, fanout_cap=fanout_cap, hit_cap=hit_cap, max_cmrs=max_cmrs,
+        diag_bin_log2=diag_bin_log2, band=band, min_kmer_hits=min_kmer_hits,
+        slot_cap=slot_cap, read_stride=read_stride, bs=bs,
+        bs_cutoff=bs_cutoff, sw_backend=sw_backend, end_to_end=end_to_end,
+        packed_offsets=packed_offsets, simple_matrix=simple_matrix,
+        canonical=canonical, cs_axis=cs_axis, word_cap=word_cap,
+    )
+    pair_args = (min_insert, max_insert, pair_cutoff) if paired else ()
+
+    def body(carry, xs):
+        reads, lengths = xs
+        r = map_step_sharded_scan(
+            genome_s, off_s, pos_s, base, core_lo, core_hi,
+            reads, lengths, matrices, gopen_q, gopen_r, gext,
+            sensitivity, max_freq, min_identity, min_residues,
+            *pair_args, paired=paired, read_len=read_len,
+            compact_cap=compact_cap, **statics,
+        )
+        return carry, r
+
+    _, rs = jax.lax.scan(body, 0, (reads_k, lengths_k))
+    return rs
+
+
 @partial(jax.jit, static_argnames=_STATICS + ("paired",))
 def map_step_scan(
     genome, offsets, positions, reads_k, lengths_k, matrices,
@@ -1791,14 +1840,25 @@ class Mapper:
         )
 
     def supports_megabatch(self) -> bool:
-        """map_batch_scan is valid on the plain one-device path only (the
-        sharded paths have their own scan; topn/staged have bespoke tails)."""
-        return (self._sharded is None and self.n_devices == 1
-                and not self._staged())
+        """map_batch_scan is valid on the plain one-device path and on the
+        SEQUENTIAL sharded path (map_step_sharded_megascan; bisulfite is
+        excluded — its dual-table fused program already stresses the
+        compiler, and its default shard mode is the host loop).  The mesh
+        paths have their own per-batch programs; topn/staged have bespoke
+        tails."""
+        seq_sharded = (
+            self._sharded is not None
+            and getattr(self, "_shard_args", None) == "seq"
+            and not self.cfg.bs_mapping
+            and not getattr(self, "_scan_fallback", False)
+        )
+        return ((self._sharded is None or seq_sharded)
+                and self.n_devices == 1 and not self._staged())
 
     def map_batch_scan(self, codes_k: np.ndarray, lengths_k: np.ndarray,
                        paired: bool = False) -> MapResult:
-        """K stacked [B, L] batches in ONE dispatch (map_step_scan); fields
+        """K stacked [B, L] batches in ONE dispatch (map_step_scan, or
+        map_step_sharded_megascan on the sequential sharded path); fields
         come back stacked [K, ...].  Bit-identical per batch to map_batch."""
         cfg = self.cfg
         pair_args = ()
@@ -1806,6 +1866,22 @@ class Mapper:
             pair_args = (
                 jnp.int32(cfg.min_insert_size), jnp.int32(cfg.max_insert_size),
                 jnp.float32(cfg.pair_score_cutoff),
+            )
+        if self._sharded is not None:
+            scalars = (
+                self._matrices,
+                jnp.int32(cfg.gap_read_penalty), jnp.int32(cfg.gap_ref_penalty),
+                jnp.int32(cfg.gap_extend_penalty),
+                jnp.float32(cfg.sensitivity), jnp.int32(cfg.max_kmer_freq),
+                jnp.float32(cfg.min_identity), jnp.float32(cfg.min_residues),
+            )
+            return map_step_sharded_megascan(
+                *self._stack(), self._base, self._clo, self._chi,
+                jnp.asarray(codes_k), jnp.asarray(lengths_k, jnp.int32),
+                *scalars, *pair_args,
+                paired=paired, read_len=self.read_len,
+                compact_cap=self._shard_tail_cap(codes_k.shape[1], paired),
+                **self._statics(),
             )
         return map_step_scan(
             *self._common_args(codes_k, lengths_k), *pair_args,

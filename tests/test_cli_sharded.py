@@ -75,6 +75,21 @@ def test_sequential_shards_identical(shard_dir):
     assert base == seq3
 
 
+def test_sharded_megabatch_identical(shard_dir):
+    """--megabatch K x --index-shards S (map_step_sharded_megascan): one
+    dispatch per K batches through the fused shard loop; must be
+    record-identical to the per-batch sharded run, including the PADDED tail
+    group (96 reads / 32 = 3 batches with K=2 -> one full + one padded)."""
+    base = run_map(shard_dir, "mb_base.sam", ("--index-shards", "2"))
+    mb = run_map(shard_dir, "mb2.sam", ("--index-shards", "2",
+                                        "--megabatch", "2"))
+    assert base == mb
+    pbase = run_map_paired(shard_dir, "mb_pbase.sam", ("--index-shards", "2"))
+    pmb = run_map_paired(shard_dir, "mb_p2.sam",
+                         ("--index-shards", "2", "--megabatch", "2"))
+    assert pbase == pmb
+
+
 def test_mesh_shards_identical(shard_dir):
     base = run_map(shard_dir, "base2.sam")
     mesh = run_map(shard_dir, "mesh4.sam",
