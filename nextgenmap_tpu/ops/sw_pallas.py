@@ -103,14 +103,19 @@ def _kernel(mats_ref, gaps_ref, qT_ref, corrT_ref, qlen_ref, msel_ref,
             e_up = jnp.concatenate([e[1:], neg_row], axis=0)
             e = jnp.maximum(h_up - gq, e_up - ge)
             htmp = jnp.maximum(jnp.maximum(0, hd), e)
-            # lazy-F: exclusive max-scan of htmp + o*ge along the band
+            # lazy-F: exclusive max-scan of htmp + o*ge along the band.
+            # The doubling chain must reach the FULL band span: steps
+            # 1,2,...,2^ceil(log2(W)) cover gap runs up to W-1 offsets.
+            # (A truncated chain silently underestimates F for long gap
+            # runs — caught by the W=120/184 oracle tests.)
             a = htmp + offext
-            for d in (1, 2, 4, 8, 16, 32):
-                if d < W:
-                    shifted = jnp.concatenate(
-                        [jnp.full((d, R), _NEG, jnp.int32), a[:-d]], axis=0
-                    )
-                    a = jnp.maximum(a, shifted)
+            d = 1
+            while d < W:
+                shifted = jnp.concatenate(
+                    [jnp.full((d, R), _NEG, jnp.int32), a[:-d]], axis=0
+                )
+                a = jnp.maximum(a, shifted)
+                d *= 2
             cm_excl = jnp.concatenate([neg_row, a[:-1]], axis=0)
             f = cm_excl - gr - (off - 1) * ge
             h = jnp.maximum(htmp, f)
@@ -157,7 +162,8 @@ def banded_sw_score_pallas(
     simple: bool = False,
 ) -> ScoreResult:
     """Drop-in for ops/sw_ref.banded_sw_score; W (=band) must be a multiple
-    of 8 and <= 64 sublane-shift span (W < 64 doubling steps cover it)."""
+    of 8. The lazy-F doubling chain scales to any W (log2(W) shift steps),
+    so long-read corridors (W=120/184) run this kernel too."""
     S, L = query.shape
     W = band
     assert W % 8 == 0, "band must be a multiple of 8 for the Pallas kernel"

@@ -118,3 +118,36 @@ def test_pallas_simple_matrix_fast_path():
         np.testing.assert_array_equal(
             np.asarray(getattr(al, f)), np.asarray(getattr(al_s, f)), f
         )
+
+
+@pytest.mark.parametrize("wide", [120, 184])
+@pytest.mark.parametrize("simple", [False, True])
+def test_pallas_wide_band_long_gap_runs(wide, simple):
+    """W>64 bands must propagate lazy-F across the FULL band span.
+
+    Regression: the doubling chain used to stop at span 63, silently
+    underestimating scores for gap runs >=64 band offsets (reads with a
+    large deletion whose two anchors sit ~W apart in the corridor) —
+    exactly the long-read corridors (W=120/184) of the 1000 bp path."""
+    rng = np.random.default_rng(11)
+    S, L = 8, 200
+    cfg = NgmConfig()
+    mats = np.stack([score_matrix(cfg, 0)])
+    q = rng.integers(0, 4, (S, L)).astype(np.uint8)
+    r = rng.integers(0, 4, (S, L + wide)).astype(np.uint8)
+    for i in range(S):
+        o2 = wide - 8  # second anchor nearly a full band away
+        r[i, 0 : L // 2] = q[i, : L // 2]
+        r[i, o2 + L // 2 : o2 + L] = q[i, L // 2 :]
+    lens = np.full(S, L, np.int32)
+    msel = np.zeros(S, np.int32)
+    args = (
+        jnp.asarray(q), jnp.asarray(lens, jnp.int32), jnp.asarray(r),
+        jnp.asarray(mats), jnp.int32(20), jnp.int32(20), jnp.int32(3),
+        jnp.asarray(msel, jnp.int32),
+    )
+    ref = banded_sw_score(*args, band=wide, simple=simple)
+    pal = banded_sw_score_pallas(
+        *args, band=wide, interpret=True, simple=simple
+    )
+    _assert_equal(ref, pal)
