@@ -1358,13 +1358,18 @@ class Mapper:
         self.hit_cap = self.cfg.resolved_read_hits(n_pos, self.read_len)
         # word-gather CS path (round 4): positions padded to 8-wide rows so
         # the [B, H] element gather becomes a [B, HW] row gather
-        # (ops/candidate.py word_cap docs); NGM_WORD_GATHER=0 disables for A/B
+        # (ops/candidate.py word_cap docs).  OPT-IN via NGM_WORD_GATHER=1:
+        # measured at par with the element path at config-2 (csq 26.9 vs
+        # 27.1 ms) while the [P/8, 8] view materializes in the TPU's T(8,128)
+        # tiled layout — 16x the positions table's HBM (19.2 GB at a 300 Mbp
+        # shard, a measured compile-time OOM) — so it stays an A/B
+        # formulation, not the default.
         from nextgenmap_tpu.ops.candidate import pad_positions8
 
         self._pos_dev = pad_positions8(self._pos_dev)
         self.word_cap = 0
         if not self.cfg.bs_mapping and _os.environ.get(
-                "NGM_WORD_GATHER", "1") != "0":
+                "NGM_WORD_GATHER", "0") == "1":
             self.word_cap = self.cfg.resolved_word_cap(
                 n_pos, self.read_len, self.hit_cap, canonical=self._canonical
             )
@@ -1463,7 +1468,7 @@ class Mapper:
         )
         self.word_cap = 0
         if not cfg.bs_mapping and _os.environ.get(
-                "NGM_WORD_GATHER", "1") != "0":
+                "NGM_WORD_GATHER", "0") == "1":  # opt-in; see Mapper above
             self.word_cap = cfg.resolved_word_cap(
                 sidx.positions.shape[1] // (2 if sidx.dual else 1),
                 self.read_len, self.hit_cap, canonical=self._canonical,

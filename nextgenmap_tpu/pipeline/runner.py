@@ -8,6 +8,7 @@ batch (models/mapper.py), with SAM emission on the host in input order.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -413,6 +414,29 @@ def _start_fetch(res):
     return res
 
 
+def _make_start_fetch(n_devices: int):
+    """Single-buffer wire fetch (utils/wire.py) when eligible: one fetch
+    round-trip instead of one per result leaf.  NGM_WIRE=0 restores the
+    per-leaf async path for A/B."""
+    if n_devices != 1 or os.environ.get("NGM_WIRE", "1") == "0":
+        return _start_fetch
+
+    from nextgenmap_tpu.utils.wire import fetch_packed
+
+    state = {"ok": True}
+
+    def start_fetch(res):
+        if state["ok"]:
+            try:
+                return fetch_packed(res)
+            except Exception:  # pack compile failure: fall back for good
+                log.warning("wire pack unavailable; per-leaf fetch", exc_info=True)
+                state["ok"] = False
+        return _start_fetch(res)
+
+    return start_fetch
+
+
 class _PoolEmitter:
     """Parallel render, ORDERED commit (the writer-mutex analog scaled out).
 
@@ -761,6 +785,7 @@ def run_mapping(
         os.replace(tmp, progress_path)
 
     mapper = Mapper(cfg, genome, read_len, index)
+    start_fetch = _make_start_fetch(mapper.n_devices)
     stats = MappingStats()
     if cfg.bam and not dist:
         from nextgenmap_tpu.io.bam import BamTextWriter
@@ -847,7 +872,7 @@ def run_mapping(
                                + [group[-1].codes] * (K - n))
             lens_k = np.stack([b.lengths for b in group]
                               + [group[-1].lengths] * (K - n))
-            res_k = _start_fetch(
+            res_k = start_fetch(
                 mapper.map_batch_scan(codes_k, lens_k, paired=paired)
             )
             t1 = time.perf_counter()
@@ -932,7 +957,7 @@ def run_mapping(
         else:
             for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
                 t0 = time.perf_counter()
-                res = _start_fetch(
+                res = start_fetch(
                     mapper.map_batch_topn(batch.codes, batch.lengths)
                     if topn > 1 else mapper.map_batch(batch.codes, batch.lengths)
                 )
@@ -986,7 +1011,7 @@ def run_mapping(
         else:
             for batch in _prefetch(batches, depth=prefetch_depth, stats=stats):
                 t0 = time.perf_counter()
-                res = _start_fetch(
+                res = start_fetch(
                     mapper.map_batch_paired(batch.codes, batch.lengths)
                 )
                 t1 = time.perf_counter()

@@ -104,6 +104,7 @@ def main():
             "-k", K, "--index-shards", SHARDS, "-t", "4",
             "--max-read-hits", os.environ.get("NGM_C4_H", "0"),
             "--batch-size", os.environ.get("NGM_C4_B", "4096"),
+            "--megabatch", os.environ.get("NGM_C4_MB", "1"),
             ]
     if MODE == "bs":
         args += ["--bs-mapping"]
