@@ -417,15 +417,31 @@ def _start_fetch(res):
 def _make_start_fetch(n_devices: int):
     """Single-buffer wire fetch (utils/wire.py) when eligible: one fetch
     round-trip instead of one per result leaf.  NGM_WIRE=0 restores the
-    per-leaf async path for A/B."""
-    if n_devices != 1 or os.environ.get("NGM_WIRE", "1") == "0":
+    per-leaf async path for A/B.
+
+    Mesh paths (dp / (dp,ish) on one process) pack too: every shard is
+    addressable, the pack program's gather rides ICI, and the host still
+    sees ONE buffer.  Only results with NON-addressable shards (a true
+    multi-host global array, where np.asarray itself would raise) fall
+    back to the per-leaf path — checked on the first result and latched.
+    """
+    if os.environ.get("NGM_WIRE", "1") == "0":
         return _start_fetch
+
+    import jax as _j
 
     from nextgenmap_tpu.utils.wire import fetch_packed
 
-    state = {"ok": True}
+    state = {"ok": True, "checked": False}
 
     def start_fetch(res):
+        if state["ok"] and not state["checked"]:
+            state["checked"] = True
+            for leaf in _j.tree_util.tree_leaves(res):
+                if not getattr(leaf, "is_fully_addressable", True):
+                    log.info("wire fetch off: result shards span processes")
+                    state["ok"] = False
+                    break
         if state["ok"]:
             try:
                 return fetch_packed(res)

@@ -11,7 +11,9 @@ import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))
+sys.path.insert(0, _here)  # explicit: `python -m tools.prep_c4ws` works too
 
 import run_config4 as c4  # noqa: E402  (same dir)
 

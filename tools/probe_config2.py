@@ -31,6 +31,7 @@ BATCH = int(os.environ.get("NGM_PROBE_B", 4096))
 N_BATCHES = int(os.environ.get("NGM_PROBE_N", 8))
 SNP_RATE = float(os.environ.get("NGM_PROBE_SNP", 0.02))
 FORCE_H = int(os.environ.get("NGM_PROBE_H", 0))  # 0 = auto
+STRIDE = int(os.environ.get("NGM_PROBE_STRIDE", 0))  # 0 = config default
 CANON = os.environ.get("NGM_PROBE_CANON", "1") == "1"
 PACKED = os.environ.get("NGM_PROBE_PACKED", "0") == "1"  # retired in prod (45 ms/batch uint32-gather tax)
 
@@ -48,6 +49,8 @@ def main() -> None:
     from nextgenmap_tpu.ops.scoring import matrices_are_simple, score_matrix
 
     cfg = NgmConfig()
+    if STRIDE:
+        cfg = cfg.replace(read_kmer_skip=STRIDE)  # H auto-resizes with Q
     if FORCE_H:
         cfg = cfg.replace(max_read_hits=FORCE_H)
     dev = jax.devices()[0]

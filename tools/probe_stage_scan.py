@@ -42,6 +42,7 @@ READ_LEN = int(os.environ.get("NGM_PROBE_L", 150))
 BATCH = int(os.environ.get("NGM_PROBE_B", 4096))
 N_BATCHES = int(os.environ.get("NGM_PROBE_N", 8))
 FORCE_H = int(os.environ.get("NGM_PROBE_H", 0))
+STRIDE = int(os.environ.get("NGM_PROBE_STRIDE", 0))  # 0 = config default
 
 
 def log(*a):
@@ -58,9 +59,12 @@ def main() -> None:
     from nextgenmap_tpu.ops.scoring import score_matrix
 
     cfg = NgmConfig()
+    if STRIDE:
+        cfg = cfg.replace(read_kmer_skip=STRIDE)  # H auto-resizes with Q
     if FORCE_H:
         cfg = cfg.replace(max_read_hits=FORCE_H)
-    log(f"device: {jax.devices()[0].platform}  stage: {STAGE}")
+    log(f"device: {jax.devices()[0].platform}  stage: {STAGE}"
+        f"  stride={cfg.read_kmer_skip}")
 
     g = random_genome(GENOME_SIZE, seed=11)
     genome_d = jax.device_put(jnp.asarray(g))

@@ -120,9 +120,15 @@ def main():
     # STREAM the CLI's stderr to a sidecar so a timeout doesn't lose all
     # progress evidence (the bs x shards runs are long)
     side = f"{WS}/cli-{MODE}.log"
-    with open(side, "w") as sf:
-        p = subprocess.run(args, env=env, stdout=sf, stderr=sf, text=True,
-                           timeout=int(os.environ.get("NGM_C4_TIMEOUT", 5400)))
+    try:
+        with open(side, "w") as sf:
+            p = subprocess.run(args, env=env, stdout=sf, stderr=sf, text=True,
+                               timeout=int(os.environ.get("NGM_C4_TIMEOUT",
+                                                          5400)))
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(open(side).read()[-4000:])
+        print(json.dumps({"mode": MODE, "error": "timeout"}))
+        return
     wall = time.time() - t0
     sys.stderr.write(open(side).read()[-4000:])
     if p.returncode != 0:

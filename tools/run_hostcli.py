@@ -62,13 +62,12 @@ def build_inputs():
     if MODE == "se":
         fq = f"{WS}/se.fq"
         if not os.path.exists(fq):
+            # simulate_reads_fast already places ~50% of reads on the
+            # reverse strand (returns truth_strand); encode THAT in the
+            # name so a strand-accuracy check stays honest
             codes, tp, ts = simulate_reads_fast(
                 g, N_READS, read_len=L, snp_rate=0.02, seed=8)
-            # half the reads on the reverse strand, like a real library
-            rng = np.random.default_rng(9)
-            flip = rng.random(N_READS) < 0.5
-            codes[flip] = (3 - codes[flip])[:, ::-1]
-            names = [f"r_{int(tp[i])}_{int(flip[i])}" for i in range(N_READS)]
+            names = [f"r_{int(tp[i])}_{int(ts[i])}" for i in range(N_READS)]
             write_fq(fq, codes, names)
         return ref, (fq,)
 
@@ -104,10 +103,15 @@ def main():
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     side = f"{WS}/cli-{MODE}.log"
     t0 = time.time()
-    with open(side, "w") as sf:
-        p = subprocess.run(args, env=env, stdout=sf, stderr=sf,
-                           timeout=int(os.environ.get("NGM_HOSTCLI_TIMEOUT",
-                                                      1800)))
+    try:
+        with open(side, "w") as sf:
+            p = subprocess.run(args, env=env, stdout=sf, stderr=sf,
+                               timeout=int(os.environ.get(
+                                   "NGM_HOSTCLI_TIMEOUT", 1800)))
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(open(side).read()[-2500:])
+        print(json.dumps({"mode": MODE, "error": "timeout"}))
+        return
     wall = time.time() - t0
     txt = open(side).read()
     sys.stderr.write(txt[-2500:])
