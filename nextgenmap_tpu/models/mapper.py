@@ -680,6 +680,12 @@ def _compacted_shard_tail(
     score > 0).  Reads lost to the cap are counted in cmr_overflow — loud,
     like every other static cap.  With compact_cap >= B this is a pure
     (stable) permutation of the batch: bit-identical results per read.
+
+    SUPERSEDED in the production sharded paths by _global_shard_tail: a
+    PER-SHARD budget mis-sizes whenever reads are position-correlated (a
+    sorted batch owns one shard and needs B rows there — round-5 config-4
+    silently unmapped half of every batch this way).  Kept for the
+    compact_cap parameter of map_step_*_from_cands (unit-test surface).
     """
     B, L = reads.shape
     C = corr_start.shape[1]
@@ -754,6 +760,136 @@ def _compacted_shard_tail(
         v = getattr(res_c, name)
         if name in ("fanout_overflow", "cmr_overflow"):
             fields[name] = v
+        else:
+            fields[name] = scat(v)
+    return MapResult(**fields)
+
+
+def _global_shard_tail(
+    genome_s, reads, rc, lengths, matrices, gopen_q, gopen_r, gext,
+    min_identity, min_residues, cands: CandState, best_g, pair_args=None,
+    *, sensitivity, min_kmer_hits, band, slot_cap, diag_bin_log2,
+    sw_backend, end_to_end, simple_matrix, compact_cap,
+):
+    """Post-CS tail over a CROSS-SHARD row budget (the skew-robust variant).
+
+    _compacted_shard_tail gives each shard its own `2B/S` row budget, which
+    assumes reads scatter ~uniformly over shards.  Position-SORTED input —
+    the norm for BAM re-mapping, and for any per-chromosome read file —
+    breaks that: a whole batch's reads own ONE shard, its tail needs B rows,
+    and everything past the per-shard cap was dropped (counted, but still
+    half-unmapped output; caught by the round-5 config-4 run, where every
+    batch was single-chromosome).  Here the budget is GLOBAL: all (read,
+    shard) groups with re-gated candidates anywhere compact into ONE row
+    pool of `compact_cap` rows (default 2B — the same total tail work as
+    S x 2B/S, but indifferent to how reads distribute over shards; a read
+    has candidates in ~1 shard under the global threshold, so 2B covers a
+    2x average).  The tail runs once over the pool with corridors gathered
+    from the FLATTENED shard-stacked genome (per-shard corr_start is
+    already clipped to its row, so windows never cross rows), and rows
+    scatter back to the [S, B] layout the cross-shard merge expects.
+    Groups lost to the cap are counted in cmr_overflow — loud, like every
+    static cap.  Bit-identical to the uncompacted per-shard tails whenever
+    nothing overflows (stable compaction; row-independent tail math).
+    """
+    S, B, C = cands.corr_start.shape
+    Gs = genome_s.shape[1]
+    flat_cands = CandState(
+        cands.corr_start.reshape(S * B, C),
+        cands.strand.reshape(S * B, C),
+        cands.cs_score.reshape(S * B, C),
+        jnp.tile(best_g, S),
+        cands.fanout_overflow, cands.cmr_overflow,
+        cands.extra_score.reshape(S * B),
+    )
+    corr_f, strand_f, valid_f, n_cands_f, cmr_total = _regate_candidates(
+        flat_cands, jnp.tile(best_g, S), sensitivity, min_kmer_hits
+    )
+    keep = n_cands_f > 0                        # [S*B]
+    paired = pair_args is not None
+    if paired:
+        kp = keep.reshape(S * B // 2, 2)
+        keep_g = kp[:, 0] | kp[:, 1]
+        cap_g = compact_cap // 2
+        Bg = B // 2
+    else:
+        keep_g = keep
+        cap_g = compact_cap
+        Bg = B
+    # stable order: kept groups first, shard-major then read order — the
+    # same relative order the per-shard tails processed
+    order = jnp.argsort(jnp.where(keep_g, 0, 1).astype(jnp.int32))
+    n_keep = jnp.sum(keep_g.astype(jnp.int32))
+    sel_g = order[:cap_g]
+    valid_g = jnp.arange(cap_g, dtype=jnp.int32) < jnp.minimum(n_keep, cap_g)
+    n_lost = jnp.maximum(0, n_keep - cap_g)
+    sid_g = sel_g // Bg
+    row_g = sel_g % Bg
+    if paired:
+        rows_b = jnp.stack([row_g * 2, row_g * 2 + 1], axis=1).reshape(-1)
+        sid = jnp.repeat(sid_g, 2)
+        row_valid = jnp.repeat(valid_g, 2)
+    else:
+        rows_b, sid, row_valid = row_g, sid_g, valid_g
+    rows_safe = jnp.where(row_valid, rows_b, 0)
+    sid_safe = jnp.where(row_valid, sid, 0)
+    Bc = rows_b.shape[0]
+
+    reads_c = take_rows_mxu(reads, rows_safe)
+    rc_c = take_rows_mxu(rc, rows_safe)
+    lengths_c = jnp.where(row_valid, lengths[rows_safe], 0)
+    flat_bc = (
+        (sid_safe * B + rows_safe)[:, None] * C
+        + jax.lax.broadcasted_iota(jnp.int32, (Bc, C), 1)
+    ).reshape(-1)
+    flat = lambda x: x.reshape(-1)[flat_bc].reshape(Bc, C)
+    strand_c = flat(strand_f)
+    valid_c = (flat(valid_f.astype(jnp.int32)) == 1) & row_valid[:, None]
+    n_cands_c = jnp.where(row_valid, n_cands_f[sid_safe * B + rows_safe], 0)
+    # shard-local corridor starts -> flattened stacked-genome coordinates
+    # (caller guarantees S * Gs < 2^31 so flat int32 coordinates are exact)
+    corr_c = flat(corr_f) + sid_safe[:, None] * Gs
+    genome_flat = genome_s.reshape(-1)
+    ovf = (jnp.sum(cands.fanout_overflow),
+           cmr_total + n_lost * (2 if paired else 1))
+
+    if paired:
+        res_c = _paired_tail(
+            genome_flat, reads_c, rc_c, lengths_c, matrices, gopen_q,
+            gopen_r, gext, min_identity, min_residues, *pair_args,
+            corr_c, strand_c, valid_c, n_cands_c, ovf,
+            band=band, slot_cap=slot_cap, diag_bin_log2=diag_bin_log2,
+            sw_backend=sw_backend, end_to_end=end_to_end,
+            simple_matrix=simple_matrix,
+        )
+    else:
+        res_c = _single_tail(
+            genome_flat, reads_c, rc_c, lengths_c, matrices, gopen_q,
+            gopen_r, gext, min_identity, min_residues,
+            corr_c, strand_c, valid_c, n_cands_c, ovf,
+            band=band, slot_cap=slot_cap, sw_backend=sw_backend,
+            end_to_end=end_to_end, simple_matrix=simple_matrix,
+        )
+    # positions came out in flattened coordinates; restore shard-local ones
+    # (the merge adds each shard's base offset itself)
+    res_c = res_c._replace(
+        pos=jnp.where(row_valid, res_c.pos - sid_safe * Gs, 0)
+    )
+
+    # scatter rows back to the [S, B] per-shard layout; dropped rows keep
+    # zeroed fields (score 0 => never owned by the merge)
+    scat_idx = jnp.where(row_valid, sid * B + rows_b, S * B)
+
+    def scat(x):
+        buf = jnp.zeros((S * B + 1,) + x.shape[1:], x.dtype)
+        return buf.at[scat_idx].set(x)[: S * B].reshape((S, B) + x.shape[1:])
+
+    fields = {}
+    for name in MapResult._fields:
+        v = getattr(res_c, name)
+        if name in ("fanout_overflow", "cmr_overflow"):
+            # merge sums over the shard axis: totals ride shard 0's slot
+            fields[name] = jnp.zeros((S,), v.dtype).at[0].set(v)
         else:
             fields[name] = scat(v)
     return MapResult(**fields)
@@ -888,24 +1024,46 @@ def map_step_sharded_scan(
     _, cands = jax.lax.scan(cs_body, 0, (genome_s, off_s, pos_s))
     best_g = jnp.max(cands.best, axis=0)
 
-    def tail_body(carry, xs):
-        g, c = xs
-        if paired:
-            r = map_step_paired_from_cands(
-                g, reads, lengths, matrices, gopen_q, gopen_r, gext,
-                sensitivity, min_identity, min_residues,
-                min_insert, max_insert, pair_cutoff, c, best_g, pre[0],
-                compact_cap=compact_cap, **statics,
-            )
-        else:
-            r = map_step_from_cands(
-                g, reads, lengths, matrices, gopen_q, gopen_r, gext,
-                sensitivity, min_identity, min_residues, c, best_g, pre[0],
-                compact_cap=compact_cap, **statics,
-            )
-        return carry, r
+    S, B = genome_s.shape[0], reads.shape[0]
+    # cross-shard compacted tail: one GLOBAL row budget instead of 2B/S per
+    # shard (per-shard budgets silently starve position-sorted input whose
+    # batches own a single shard — _global_shard_tail docstring).  The
+    # flattened-genome corridor coordinates need S*Gs < 2^31; past that the
+    # uncompacted per-shard tails run instead.
+    use_global = (
+        compact_cap and compact_cap < S * B
+        and S * genome_s.shape[1] < 2**31
+    )
+    if use_global:
+        stk = _global_shard_tail(
+            genome_s, reads, pre[0], lengths, matrices, gopen_q, gopen_r,
+            gext, min_identity, min_residues, cands, best_g,
+            (min_insert, max_insert, pair_cutoff) if paired else None,
+            sensitivity=sensitivity, min_kmer_hits=min_kmer_hits,
+            band=band, slot_cap=slot_cap or max(512, compact_cap // 2),
+            diag_bin_log2=diag_bin_log2, sw_backend=sw_backend,
+            end_to_end=end_to_end, simple_matrix=simple_matrix,
+            compact_cap=compact_cap,
+        )
+    else:
+        def tail_body(carry, xs):
+            g, c = xs
+            if paired:
+                r = map_step_paired_from_cands(
+                    g, reads, lengths, matrices, gopen_q, gopen_r, gext,
+                    sensitivity, min_identity, min_residues,
+                    min_insert, max_insert, pair_cutoff, c, best_g, pre[0],
+                    **statics,
+                )
+            else:
+                r = map_step_from_cands(
+                    g, reads, lengths, matrices, gopen_q, gopen_r, gext,
+                    sensitivity, min_identity, min_residues, c, best_g,
+                    pre[0], **statics,
+                )
+            return carry, r
 
-    _, stk = jax.lax.scan(tail_body, 0, (genome_s, cands))
+        _, stk = jax.lax.scan(tail_body, 0, (genome_s, cands))
     # runtime import: parallel.index_shard imports this module (MapResult)
     from nextgenmap_tpu.parallel.index_shard import merge_sharded_results
 
@@ -1627,10 +1785,15 @@ class Mapper:
         best = jnp.max(jnp.stack([c.best for c in cands]), axis=0)
         step = map_step_paired_from_cands if paired else map_step_from_cands
         # matrices first, then gap penalties; sensitivity rides scalars[4]
+        # NOTE: the host loop runs FULL per-shard tails (no compact_cap) —
+        # the per-shard 2B/S budget mis-sizes under read->shard skew
+        # (_global_shard_tail docstring), and the skew-robust global tail
+        # needs all shards' candidates in one program, which is what this
+        # loop exists to avoid
         results = [
             step(g, reads, lens, scalars[0], scalars[1], scalars[2],
                  scalars[3], scalars[4], scalars[6], scalars[7],
-                 *pair_args, c, best, compact_cap=compact_cap, **statics)
+                 *pair_args, c, best, **statics)
             for (g, _, _), c in zip(self._shard_list(), cands)
         ]
         stk = MapResult(*[
@@ -1709,25 +1872,29 @@ class Mapper:
         )
 
     def _shard_tail_cap(self, B: int, paired: bool) -> int:
-        """Compacted-tail row budget for the sequential shard loop (0 = off).
+        """GLOBAL compacted-tail row budget for the sequential shard loop
+        (0 = off: full per-shard tails).
 
-        A shard's re-gated candidates cover ~B/S reads, so 2B/S rows (floor
-        1024) give 2x headroom over the average while cutting the per-shard
-        tail (score slots + winner traceback DP) to a fraction of B; the
-        compaction itself is exact and overflow beyond the cap is counted in
-        cmr_overflow.  NGM_SHARD_TAIL_CAP overrides (0 disables)."""
+        The budget is shared across ALL shards (_global_shard_tail): under
+        the global threshold a read has candidates in ~1 shard, so 2B rows
+        give 2x headroom over the batch REGARDLESS of how reads distribute
+        over shards — per-shard budgets (the round-4 design) silently
+        starved position-sorted input whose whole batch owns one shard.
+        Total tail work equals the old S x 2B/S.  Overflow beyond the cap
+        is counted in cmr_overflow.  NGM_SHARD_TAIL_CAP overrides the TOTAL
+        (0 disables)."""
         import os as _os
 
+        S = self.cfg.index_shards
         env = _os.environ.get("NGM_SHARD_TAIL_CAP")
         if env is not None:
             cap = int(env)
             if cap <= 0:
                 return 0
         else:
-            S = self.cfg.index_shards
-            cap = max(1024, -(-2 * B // S))
+            cap = max(1024, 2 * B)
         cap = -(-cap // 256) * 256          # round up: lane-friendly, even
-        return 0 if cap >= B else cap
+        return 0 if cap >= S * B else cap
 
     # Long reads can run as TWO programs (cs_cands_step +
     # map_step_*_from_cands, byte-identical to the fused step by the
