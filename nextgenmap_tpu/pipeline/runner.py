@@ -914,11 +914,35 @@ def run_mapping(
 
         return _dc.replace(writer, out=_io.StringIO()), MappingStats()
 
+    def group_wrap(render_one, commit_one):
+        """Lift per-batch (render, commit) to megabatch GROUPS so the pool
+        renders whole groups in parallel workers (one host conversion of the
+        group's wire buffer per worker, K per-batch renders inside), while
+        the ordered committer keeps output bytes and resume bookkeeping
+        identical to the serial emitter."""
+
+        def render_g(pending):
+            group, res_k = pending
+            host = type(res_k)(*[np.asarray(f) for f in res_k])
+            outs = []
+            for i, b in enumerate(group):
+                p = (b, type(res_k)(*[f[i] for f in host]))
+                outs.append((render_one(p), p))
+            return outs
+
+        def commit_g(rendered, pending):
+            for r, p in rendered:
+                commit_one(r, p)
+
+        return render_g, commit_g
+
     def make_emitter(render=None, commit=None):
-        if (render is not None and cfg.threads >= 3
-                and cfg.megabatch <= 1):
+        if render is not None and cfg.threads >= 3:
             log.info("parallel emitter pool (%d render workers)",
                      cfg.threads - 1)
+            if cfg.megabatch > 1:
+                return _PoolEmitter(cfg.threads - 1,
+                                    *group_wrap(render, commit))
             return _PoolEmitter(cfg.threads - 1, render, commit)
         return _Emitter(async_=cfg.threads > 1)
 

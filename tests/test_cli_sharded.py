@@ -90,6 +90,20 @@ def test_sharded_megabatch_identical(shard_dir):
     assert pbase == pmb
 
 
+def test_megabatch_pool_emitter_identical(shard_dir):
+    """--megabatch K with -t 4 engages the GROUP-parallel render pool
+    (runner.py group_wrap): whole groups render in pool workers, the ordered
+    committer writes — bytes must equal the serial megabatch run, SE and
+    PE."""
+    base = run_map(shard_dir, "mp_base.sam", ("--megabatch", "2"))
+    pool = run_map(shard_dir, "mp_pool.sam", ("--megabatch", "2", "-t", "4"))
+    assert base == pool
+    pbase = run_map_paired(shard_dir, "mp_pbase.sam", ("--megabatch", "2"))
+    ppool = run_map_paired(shard_dir, "mp_ppool.sam",
+                           ("--megabatch", "2", "-t", "4"))
+    assert pbase == ppool
+
+
 def test_mesh_shards_identical(shard_dir):
     base = run_map(shard_dir, "base2.sam")
     mesh = run_map(shard_dir, "mesh4.sam",
