@@ -110,6 +110,9 @@ def main():
         args += ["--bs-mapping"]
     if MODE in ("divergent", "bs"):
         args += ["-s", "0.5"]
+    extra = os.environ.get("NGM_C4_EXTRA", "")
+    if extra:
+        args += extra.split()
     env = dict(os.environ)
     # APPEND to PYTHONPATH: the axon TPU plugin registers via an existing
     # PYTHONPATH entry (/root/.axon_site); overwriting it silently drops the
